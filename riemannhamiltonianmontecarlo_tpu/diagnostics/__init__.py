@@ -1,0 +1,18 @@
+"""Diagnostics: ESS (reference-compatible Geyer estimator), R-hat, summaries."""
+
+from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
+    autocorrelation,
+    ess_geyer,
+    ess_multichain,
+    nextpow2,
+)
+from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat, split_rhat_device
+
+__all__ = [
+    "autocorrelation",
+    "ess_geyer",
+    "ess_multichain",
+    "nextpow2",
+    "split_rhat",
+    "split_rhat_device",
+]

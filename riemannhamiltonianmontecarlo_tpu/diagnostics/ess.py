@@ -1,0 +1,99 @@
+"""Effective sample size: Geyer initial-monotone-sequence estimator.
+
+Semantics-compatible re-derivation of the reference estimator
+(``code/tools.py:21-74`` / MATLAB ``Results/CalculateESS.m``), because the
+north-star metric (ESS/s, BASELINE.md) is *defined* by this estimator and
+speedup claims must be apples-to-apples:
+
+* autocorrelation by Wiener-Khinchin FFT of the demeaned series
+  (``code/tools.py:21-30``);
+* pair sums ``Gamma_j = rho_{2j} + rho_{2j+1}`` (``tools.py:49-50``);
+* running-min monotonization (``tools.py:54-60``);
+* ``MonoEst = -rho_0 + 2 * sum of the positive (monotone) Gamma prefix``
+  clipped at >= 1 (``tools.py:62-71``);  ESS = N / MonoEst.
+
+Monotonization makes the Gamma sequence non-increasing, so "indices with
+Gamma > 0" form a prefix and the reference's ``len(PosGammas)``-prefix sum
+equals the sum of the strictly positive entries -- which is how it is
+vectorized here (no Python loops over parameters).
+
+``nfft_mode``:
+  * ``"reference"`` -- nFFT = nextpow2(N) + 1, reproducing the reference
+    Python port verbatim (``code/tools.py:23``).  NOTE: this length is too
+    short for exact linear autocorrelation (needs >= 2N - 1), so high lags
+    alias; the MATLAB original uses ``2^(nextpow2(N) + 1)``.  Kept as the
+    default for strict parity with the re-timed reference denominator.
+  * ``"exact"`` -- nFFT = 2 * nextpow2(N): alias-free linear ACF (matches
+    the MATLAB semantics).
+
+Diagnostics run host-side in NumPy (float64): they are post-processing,
+not hot-path, and the reference pipeline is float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nextpow2(i: int) -> int:
+    n = 1
+    while n < i:
+        n *= 2
+    return n
+
+
+def autocorrelation(samples: np.ndarray, max_lag: int, nfft_mode: str = "reference") -> np.ndarray:
+    """Column-wise ACF up to ``max_lag`` inclusive.
+
+    samples: (N, P) -> (max_lag + 1, P), normalized so lag 0 is 1.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    if nfft_mode == "reference":
+        nfft = nextpow2(n) + 1
+    elif nfft_mode == "exact":
+        nfft = 2 * nextpow2(n)
+    else:
+        raise ValueError(f"nfft_mode must be 'reference' or 'exact', got {nfft_mode!r}")
+    f = np.fft.fft(x - x.mean(axis=0), n=nfft, axis=0)
+    acf = np.fft.ifft(f * np.conj(f), axis=0).real[: max_lag + 1]
+    return acf / acf[0]
+
+
+def ess_geyer(
+    samples: np.ndarray, max_lag: int | None = None, nfft_mode: str = "reference"
+) -> np.ndarray:
+    """Geyer initial-monotone ESS per parameter.  samples: (N, P) -> (P,)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n = x.shape[0]
+    if max_lag is None:
+        max_lag = n - 1
+    acs = autocorrelation(x, max_lag, nfft_mode)  # (max_lag+1, P)
+    half = (max_lag + 1) // 2
+    gamma = acs[0 : 2 * half : 2] + acs[1 : 2 * half : 2]  # (half, P)
+    gamma = np.minimum.accumulate(gamma, axis=0)  # initial monotone sequence
+    mono = -acs[0] + 2.0 * np.sum(np.where(gamma > 0.0, gamma, 0.0), axis=0)
+    mono = np.maximum(mono, 1.0)
+    return n / mono
+
+
+def ess_multichain(
+    samples: np.ndarray, max_lag: int | None = None, nfft_mode: str = "reference"
+) -> np.ndarray:
+    """Total ESS over independent chains: sum of per-chain Geyer ESS.
+
+    samples: (C, N, P) -> (P,).  For independent chains, effective samples
+    add; this is the quantity the ESS/s benchmark maximizes.
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        return ess_geyer(x, max_lag, nfft_mode)
+    c, n, p = x.shape
+    # Batch the FFT across chains and parameters in one call: (N, C*P).
+    flat = np.moveaxis(x, 1, 0).reshape(n, c * p)
+    per = ess_geyer(flat, max_lag, nfft_mode).reshape(c, p)
+    return per.sum(axis=0)

@@ -1,0 +1,184 @@
+"""Bayesian logistic regression with closed-form manifold geometry.
+
+Statistical contract (matching the reference):
+
+* log joint  ``L(w) = t^T X w - sum_n log(1 + exp(x_n^T w)) + log N(w; 0, alpha I)``
+  with ``alpha = 100`` (reference ``code/hmc.py:31-34``, ``code/rmhmc.py:19``).
+* gradient   ``X^T (t - sigma(Xw)) - w / alpha``   (``code/hmc.py:53``).
+* Fisher metric ``G(w) = X^T diag(v) X + I / alpha``, ``v = p (1 - p)``,
+  ``p = sigma(Xw)``  (``code/rmhmc.py:50-57``).
+* metric derivative ``dG/dw_d = X^T diag(v (1 - 2p) X[:, d]) X``
+  (``code/rmhmc.py:63-77``).
+
+TPU-first redesign of the derivative algebra: the reference materializes
+the dense (D, D, D) tensor ``InvG @ dG_d`` every step -- O(N D^3 + D^4)
+work.  Because ``dG_d = sum_n c_{nd} x_n x_n^T`` with rank-one structure
+(``c_{nd} = v_n (1 - 2 p_n) X_{nd}``), every contraction a manifold
+sampler needs reduces to matmuls over the data axis:
+
+* ``u^T dG_d v        = sum_n c_{nd} (x_n.u)(x_n.v)``
+* ``tr(M dG_d)        = sum_n c_{nd} (x_n^T M x_n)``
+* ``sum_e (M dG_e M)[:, e] = sum_n c_n' s_n M x_n``  with
+  ``s_n = x_n^T M x_n``
+
+-- all O(N D^2) per chain and batched over chains as (chains, N) x (N, D)
+matmuls that XLA tiles directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# TPU default f32 matmul precision is bfloat16 multiplies; MH acceptance
+# compares log densities to O(1), so every contraction feeding logp / grad /
+# G must run at full f32 precision (SURVEY.md hard part (e)).
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+class ManifoldState(NamedTuple):
+    """Everything a manifold kernel needs at a position, in one fused pass."""
+
+    logp: Array  # (...,)
+    grad: Array  # (..., D)
+    metric: Array  # (..., D, D)
+    cache: Array  # dG cache; for BLR the (..., N) weights v * (1 - 2p)
+
+
+@dataclasses.dataclass(frozen=True)
+class LogisticRegression:
+    """Bayesian logistic regression model over a fixed design matrix.
+
+    Attributes:
+      X: (N, D) design matrix (bias column / basis expansion already applied).
+      t: (N,) binary labels in {0, 1}.
+      alpha: prior variance (reference uses 100, ``code/rmhmc.py:19``).
+    """
+
+    X: Array
+    t: Array
+    alpha: float = 100.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "X", jnp.asarray(self.X))
+        object.__setattr__(self, "t", jnp.asarray(self.t).reshape(-1))
+
+    @property
+    def dim(self) -> int:
+        return self.X.shape[-1]
+
+    @property
+    def num_data(self) -> int:
+        return self.X.shape[0]
+
+    # -- densities ---------------------------------------------------------
+
+    def _logits(self, w: Array) -> Array:
+        # (..., D) @ (D, N) -> (..., N): chains ride the MXU sublane axis.
+        return jnp.matmul(w, self.X.T, precision=PRECISION)
+
+    def log_prior(self, w: Array) -> Array:
+        d = self.dim
+        const = -0.5 * d * jnp.log(2.0 * jnp.pi * self.alpha)
+        return const - 0.5 * jnp.sum(w * w, axis=-1) / self.alpha
+
+    def logp(self, w: Array) -> Array:
+        f = self._logits(w)
+        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
+        return loglik + self.log_prior(w)
+
+    def grad(self, w: Array) -> Array:
+        f = self._logits(w)
+        resid = self.t - jax.nn.sigmoid(f)  # (..., N)
+        return jnp.matmul(resid, self.X, precision=PRECISION) - w / self.alpha
+
+    def logp_and_grad(self, w: Array) -> tuple[Array, Array]:
+        f = self._logits(w)
+        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
+        logp = loglik + self.log_prior(w)
+        resid = self.t - jax.nn.sigmoid(f)
+        return logp, jnp.matmul(resid, self.X, precision=PRECISION) - w / self.alpha
+
+    # -- manifold geometry -------------------------------------------------
+
+    def _weights(self, w: Array) -> tuple[Array, Array, Array]:
+        p = jax.nn.sigmoid(self._logits(w))
+        v = p * (1.0 - p)
+        c = v * (1.0 - 2.0 * p)
+        return p, v, c
+
+    def _metric_from_v(self, v: Array) -> Array:
+        # G = X^T diag(v) X + I/alpha, batched over leading axes of v.
+        g = jnp.einsum("...n,na,nb->...ab", v, self.X, self.X, precision=PRECISION)
+        eye = jnp.eye(self.dim, dtype=g.dtype) / self.alpha
+        return g + eye
+
+    def metric(self, w: Array) -> Array:
+        _, v, _ = self._weights(w)
+        return self._metric_from_v(v)
+
+    def manifold_state(self, w: Array) -> ManifoldState:
+        """Fused logp + grad + G + dG weights (one logits matmul)."""
+        f = self._logits(w)
+        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
+        logp = loglik + self.log_prior(w)
+        p = jax.nn.sigmoid(f)
+        grad = jnp.matmul(self.t - p, self.X, precision=PRECISION) - w / self.alpha
+        v = p * (1.0 - p)
+        c = v * (1.0 - 2.0 * p)
+        return ManifoldState(logp, grad, self._metric_from_v(v), c)
+
+    def dg_cache(self, w: Array) -> Array:
+        """(..., N) weights c_n = v_n (1 - 2 p_n);  dG_d = X^T diag(c X[:,d]) X."""
+        _, _, c = self._weights(w)
+        return c
+
+    def dg_bilinear(self, w: Array, u: Array, v: Array, *, cache: Array | None = None) -> Array:
+        """[u^T dG_d v]_d = X^T (c * (Xu) * (Xv))."""
+        c = self.dg_cache(w) if cache is None else cache
+        xu = jnp.matmul(u, self.X.T, precision=PRECISION)
+        xv = xu if v is u else jnp.matmul(v, self.X.T, precision=PRECISION)
+        return jnp.matmul(c * xu * xv, self.X, precision=PRECISION)
+
+    def dg_trace(self, w: Array, m: Array, *, cache: Array | None = None) -> Array:
+        """[tr(M dG_d)]_d = X^T (c * s),  s_n = x_n^T M x_n."""
+        c = self.dg_cache(w) if cache is None else cache
+        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
+        s = jnp.sum(xm * self.X, axis=-1)  # (..., N)
+        return jnp.matmul(c * s, self.X, precision=PRECISION)
+
+    def dg_dotted(self, w: Array, m: Array, *, cache: Array | None = None) -> Array:
+        """[sum_e (M dG_e M)[:, e]]  = (c * s) @ (X M),  s_n = x_n^T M x_n."""
+        c = self.dg_cache(w) if cache is None else cache
+        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
+        s = jnp.sum(xm * self.X, axis=-1)
+        return jnp.einsum("...n,...nd->...d", c * s, xm, precision=PRECISION)
+
+    def quadratic_forms(self, m: Array) -> Array:
+        """s_n = x_n^T M x_n for each data point, batched over chains."""
+        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
+        return jnp.sum(xm * self.X, axis=-1)
+
+    # -- IWLS helpers (``code/iwls.py:28-35``) ------------------------------
+
+    def iwls_proposal(self, w: Array) -> tuple[Array, Array]:
+        """One Newton/IWLS step: proposal covariance and mean.
+
+        cov  = (I/alpha + X^T diag(v) X)^{-1} = G(w)^{-1}
+        mean = cov @ X^T diag(v) z,   z = Xw + (t - p)/v
+        (reference ``code/iwls.py:28-35``; note mean simplifies to
+        cov @ (X^T diag(v) X w + X^T (t - p)).)
+        """
+        f = self._logits(w)
+        p = jax.nn.sigmoid(f)
+        v = p * (1.0 - p)
+        g = self._metric_from_v(v)
+        rhs = jnp.matmul(v * f + (self.t - p), self.X, precision=PRECISION)  # (..., D)
+        cov = jnp.linalg.inv(g)
+        mean = jnp.einsum("...ab,...b->...a", cov, rhs, precision=PRECISION)
+        return mean, cov

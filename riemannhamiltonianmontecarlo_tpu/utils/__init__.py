@@ -1,0 +1,19 @@
+"""Utilities: configuration presets, checkpointing, timing."""
+
+from riemannhamiltonianmontecarlo_tpu.utils.config import (
+    ExperimentConfig,
+    reference_preset,
+)
+from riemannhamiltonianmontecarlo_tpu.utils.init import (
+    default_init,
+    jittered_init,
+    map_estimate,
+)
+
+__all__ = [
+    "ExperimentConfig",
+    "reference_preset",
+    "default_init",
+    "jittered_init",
+    "map_estimate",
+]

@@ -1,0 +1,79 @@
+"""ESS estimator parity: our vectorized Geyer estimator vs the reference.
+
+The north-star metric is ESS/s *as measured by the reference estimator*
+(``code/tools.py:32-74``), so this test imports the reference module
+directly as an oracle (skipped when the checkout is absent).
+"""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from riemannhamiltonianmontecarlo_tpu.diagnostics import (
+    autocorrelation,
+    ess_geyer,
+    ess_multichain,
+)
+
+REF_TOOLS = Path("/root/reference/code/tools.py")
+
+
+def _load_reference_tools():
+    spec = importlib.util.spec_from_file_location("ref_tools", REF_TOOLS)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def ar1_samples(rng, n, p, rho=0.9):
+    x = np.zeros((n, p))
+    noise = rng.normal(size=(n, p))
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + np.sqrt(1 - rho**2) * noise[i]
+    return x
+
+
+@pytest.mark.skipif(not REF_TOOLS.exists(), reason="reference checkout not available")
+def test_ess_matches_reference_oracle():
+    ref = _load_reference_tools()
+    rng = np.random.default_rng(0)
+    x = ar1_samples(rng, 1200, 4, rho=0.8)
+    ours = ess_geyer(x, max_lag=x.shape[0] - 1, nfft_mode="reference")
+    theirs = ref.CalculateESS(x, x.shape[0] - 1).reshape(-1)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+@pytest.mark.skipif(not REF_TOOLS.exists(), reason="reference checkout not available")
+def test_acf_matches_reference_oracle():
+    ref = _load_reference_tools()
+    rng = np.random.default_rng(1)
+    x = ar1_samples(rng, 500, 1, rho=0.5)[:, 0]
+    ours = autocorrelation(x, 100, nfft_mode="reference")[:, 0]
+    theirs = ref.ac(x, 100)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+
+def test_iid_ess_near_n():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(5000, 3))
+    ess = ess_geyer(x, nfft_mode="exact")
+    assert np.all(ess > 2500), ess  # iid -> ESS approx N (estimator noise allowed)
+
+
+def test_correlated_ess_much_smaller():
+    rng = np.random.default_rng(3)
+    x = ar1_samples(rng, 5000, 2, rho=0.95)
+    ess = ess_geyer(x, nfft_mode="exact")
+    # AR(1) with rho=0.95 -> ESS approx N * (1-rho)/(1+rho) approx 128
+    assert np.all(ess < 600), ess
+    assert np.all(ess > 20), ess
+
+
+def test_multichain_sums_per_chain():
+    rng = np.random.default_rng(4)
+    x = np.stack([ar1_samples(rng, 800, 2, rho=0.6) for _ in range(3)])
+    total = ess_multichain(x)
+    per = np.stack([ess_geyer(x[i]) for i in range(3)])
+    np.testing.assert_allclose(total, per.sum(axis=0), rtol=1e-12)

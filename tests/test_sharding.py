@@ -1,0 +1,55 @@
+"""Mesh-sharded chain execution on the 8-device virtual CPU backend.
+
+Determinism contract (SURVEY.md section 5, race-detection analog): the
+same seed must produce the same chains regardless of how the chain axis
+is sharded, which JAX's partitionable threefry guarantees.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from riemannhamiltonianmontecarlo_tpu.parallel import make_mesh, run
+from riemannhamiltonianmontecarlo_tpu.samplers import hmc
+
+
+class IsoGaussian:
+    dim = 2
+
+    def logp(self, w):
+        return -0.5 * jnp.sum(w * w, axis=-1)
+
+    def grad(self, w):
+        return -w
+
+    def logp_and_grad(self, w):
+        return self.logp(w), self.grad(w)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_run_matches_unsharded():
+    model = IsoGaussian()
+    kernel = hmc.build(model, hmc.HMCConfig(step_size=0.3, num_leapfrog=6))
+    init = jnp.zeros((32, 2))
+    key = jax.random.key(0)
+
+    res_plain = run(kernel, key, init, num_samples=40, burn_in=5)
+    mesh = make_mesh()
+    res_mesh = run(kernel, key, init, num_samples=40, burn_in=5, mesh=mesh)
+
+    np.testing.assert_allclose(
+        np.asarray(res_plain.samples), np.asarray(res_mesh.samples), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_sharded_samples_are_distributed():
+    model = IsoGaussian()
+    kernel = hmc.build(model, hmc.HMCConfig(step_size=0.3, num_leapfrog=4))
+    mesh = make_mesh()
+    init = jnp.zeros((16, 2))
+    res = run(kernel, jax.random.key(1), init, num_samples=10, burn_in=0, mesh=mesh)
+    shards = res.samples.sharding.device_set
+    assert len(shards) == 8
