@@ -6,6 +6,8 @@ from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
     ess_multichain,
     nextpow2,
 )
+from riemannhamiltonianmontecarlo_tpu.diagnostics import native
+from riemannhamiltonianmontecarlo_tpu.diagnostics.native import ess_geyer_native
 from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat, split_rhat_device
 
 __all__ = [
@@ -13,6 +15,8 @@ __all__ = [
     "ess_geyer",
     "ess_multichain",
     "nextpow2",
+    "native",
+    "ess_geyer_native",
     "split_rhat",
     "split_rhat_device",
 ]

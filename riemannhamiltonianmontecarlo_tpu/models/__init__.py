@@ -1,6 +1,6 @@
 """Model zoo: log-posteriors with gradients and Fisher-metric geometry."""
 
-from riemannhamiltonianmontecarlo_tpu.models import datasets
+from riemannhamiltonianmontecarlo_tpu.models import datasets, fhn, lgc, stochvol
 from riemannhamiltonianmontecarlo_tpu.models.base import (
     FunctionModel,
     ManifoldModel,
@@ -14,8 +14,18 @@ from riemannhamiltonianmontecarlo_tpu.models.datasets import (
 )
 from riemannhamiltonianmontecarlo_tpu.models.logreg import LogisticRegression, ManifoldState
 
+from riemannhamiltonianmontecarlo_tpu.models.fhn import FHNModel
+from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCModel
+from riemannhamiltonianmontecarlo_tpu.models.stochvol import StochVolModel
+
 __all__ = [
     "datasets",
+    "fhn",
+    "lgc",
+    "stochvol",
+    "FHNModel",
+    "LGCModel",
+    "StochVolModel",
     "Dataset",
     "load_dataset",
     "synthetic_logreg",

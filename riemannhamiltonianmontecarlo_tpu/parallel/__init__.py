@@ -8,9 +8,25 @@ from riemannhamiltonianmontecarlo_tpu.parallel.mesh import (
     replicated,
     shard_chains,
 )
+from riemannhamiltonianmontecarlo_tpu.parallel.adaptation import (
+    AdaptationConfig,
+    adaptive,
+    frozen_step_size,
+    run_adaptive,
+)
+from riemannhamiltonianmontecarlo_tpu.parallel.collectives import (
+    cross_chain_mean,
+    cross_chain_sum,
+)
 from riemannhamiltonianmontecarlo_tpu.parallel.runner import RunResult, run
 
 __all__ = [
+    "AdaptationConfig",
+    "adaptive",
+    "frozen_step_size",
+    "run_adaptive",
+    "cross_chain_mean",
+    "cross_chain_sum",
     "CHAIN_AXIS",
     "make_mesh",
     "chain_sharding",

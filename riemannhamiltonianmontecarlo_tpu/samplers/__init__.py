@@ -7,7 +7,9 @@ from riemannhamiltonianmontecarlo_tpu.samplers import (
     mala,
     metropolis,
     mmala,
+    phmc,
     rmhmc,
+    stochvol,
 )
 from riemannhamiltonianmontecarlo_tpu.samplers.base import Info, Kernel, metropolis_accept
 
@@ -18,7 +20,9 @@ __all__ = [
     "mala",
     "metropolis",
     "mmala",
+    "phmc",
     "rmhmc",
+    "stochvol",
     "Info",
     "Kernel",
     "metropolis_accept",

@@ -57,6 +57,12 @@ class RMHMCConfig:
     randomize_length: bool = True  # ceil(U*L), code/rmhmc.py:89
     random_direction: bool = True  # time-reversal sign, code/rmhmc.py:90-93
     jitter: float = 0.0  # optional diagonal jitter on G for f32 stability
+    # Heavy-tailed momentum variant (``MCMC/BLR_RMHMC_StudentT.m``):
+    # momentum ~ multivariate-t_1(0, G) (``:265`` mvtrnd(G,1)), kinetic
+    # energy ((1+D)/2) log(1 + p^T G^{-1} p) (``:386-392``), with the
+    # matching (1+D)/2 / (1 + p^T G^{-1} p) weights in the leapfrog
+    # forces (``:296,327``).
+    student_t: bool = False
 
 
 class RMHMCState(NamedTuple):
@@ -92,9 +98,14 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
         return _Geometry(ms.logp, ms.grad, g, ms.cache, l, inv, half_logdet)
 
     def hamiltonian(geo: _Geometry, p: Array) -> Array:
-        kinetic = 0.5 * jnp.einsum(
+        quad = jnp.einsum(
             "...a,...ab,...b->...", p, geo.inv, p, precision=jax.lax.Precision.HIGHEST
         )
+        if config.student_t:
+            d = p.shape[-1]
+            kinetic = 0.5 * (1.0 + d) * jnp.log1p(quad)
+        else:
+            kinetic = 0.5 * quad
         return -geo.logp + geo.half_logdet + kinetic
 
     def init(position: Array) -> RMHMCState:
@@ -102,10 +113,14 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
 
     def step(key: Array, state: RMHMCState) -> tuple[RMHMCState, Info]:
         c = state.position.shape[0]
-        k_mom, k_len, k_dir, k_acc = jax.random.split(key, 4)
+        k_mom, k_chi, k_len, k_dir, k_acc = jax.random.split(key, 5)
 
         geo0 = geometry(state.position)
         p0 = ops.mvn_sample(k_mom, geo0.chol)
+        if config.student_t:
+            # t_1(0, G) = N(0, G) / sqrt(chi^2_1)  (mvtrnd(G,1), StudentT.m:265)
+            chi = jax.random.normal(k_chi, (c,), p0.dtype) ** 2
+            p0 = p0 / jnp.sqrt(chi)[:, None]
         h_cur = hamiltonian(geo0, p0)
 
         if config.randomize_length:
@@ -122,12 +137,22 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
         dt = (direction * eps)[:, None]  # (C, 1), broadcast over D
 
         def momentum_force(w, geo: _Geometry, pm):
-            """dp/dt = grad - 1/2 tr(G^-1 dG_d) + 1/2 u^T dG_d u, u = G^-1 pm."""
+            """dp/dt = grad - 1/2 tr(G^-1 dG_d) + weight * u^T dG_d u, u = G^-1 pm.
+
+            weight = 1/2 (Gaussian momentum) or
+            ((1+D)/2) / (1 + p^T G^{-1} p) (Student-t, StudentT.m:296).
+            """
             trace_vec = model.dg_trace(w, geo.inv, cache=geo.cache)
             u_vec = jnp.einsum(
                 "...ab,...b->...a", geo.inv, pm, precision=jax.lax.Precision.HIGHEST
             )
-            last = 0.5 * model.dg_bilinear(w, u_vec, u_vec, cache=geo.cache)
+            bil = model.dg_bilinear(w, u_vec, u_vec, cache=geo.cache)
+            if config.student_t:
+                d = w.shape[-1]
+                quad = jnp.sum(pm * u_vec, axis=-1, keepdims=True)
+                last = 0.5 * (1.0 + d) * bil / (1.0 + quad)
+            else:
+                last = 0.5 * bil
             return geo.grad - 0.5 * trace_vec + last
 
         def leapfrog_body(i, carry):
@@ -144,13 +169,22 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
             u0 = jnp.einsum(
                 "...ab,...b->...a", geo.inv, pm, precision=jax.lax.Precision.HIGHEST
             )
+            if config.student_t:
+                d_dim = w.shape[-1]
+                q0 = jnp.sum(pm * u0, axis=-1, keepdims=True)
+                u0_eff = (1.0 + d_dim) * u0 / (1.0 + q0)  # StudentT.m:327
+            else:
+                u0_eff = u0
             wf = w
             for _ in range(n_fp):
                 g_new = model.metric(wf)
                 if config.jitter:
                     g_new = g_new + config.jitter * jnp.eye(g_new.shape[-1], dtype=g_new.dtype)
                 u_new = ops.solve_psd(g_new, pm)
-                wf = w + 0.5 * dt * (u0 + u_new)
+                if config.student_t:
+                    qn = jnp.sum(pm * u_new, axis=-1, keepdims=True)
+                    u_new = (1.0 + d_dim) * u_new / (1.0 + qn)
+                wf = w + 0.5 * dt * (u0_eff + u_new)
 
             # (c) explicit momentum half-step with fresh geometry at w'.
             geo_new = geometry(wf)

@@ -4,6 +4,7 @@ from riemannhamiltonianmontecarlo_tpu.utils.config import (
     ExperimentConfig,
     reference_preset,
 )
+from riemannhamiltonianmontecarlo_tpu.utils.checkpoint import load_state, save_state
 from riemannhamiltonianmontecarlo_tpu.utils.init import (
     default_init,
     jittered_init,
@@ -16,4 +17,6 @@ __all__ = [
     "default_init",
     "jittered_init",
     "map_estimate",
+    "save_state",
+    "load_state",
 ]

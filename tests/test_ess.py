@@ -77,3 +77,23 @@ def test_multichain_sums_per_chain():
     total = ess_multichain(x)
     per = np.stack([ess_geyer(x[i]) for i in range(3)])
     np.testing.assert_allclose(total, per.sum(axis=0), rtol=1e-12)
+
+
+def test_native_ess_matches_numpy_exact_mode():
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import native
+
+    if not native.available():
+        pytest.skip("native ESS library not built")
+    rng = np.random.default_rng(9)
+    x = ar1_samples(rng, 2000, 5, rho=0.85)
+    got = native.ess_geyer_native(x)
+    expected = ess_geyer(x, nfft_mode="exact")
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+    stacked = np.stack([x, x[::-1]])
+    got3 = native.ess_geyer_native(stacked)
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_multichain
+
+    np.testing.assert_allclose(
+        got3, ess_multichain(stacked, nfft_mode="exact"), rtol=1e-10
+    )

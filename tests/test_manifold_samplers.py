@@ -131,3 +131,14 @@ def test_rmhmc_no_random_direction_reversibility(gaussian):
     res = run(kernel, jax.random.key(7), init, num_samples=600, burn_in=150)
     mean, _ = _moments(res.samples)
     np.testing.assert_allclose(mean, np.asarray(gaussian.mean), atol=0.25)
+
+
+def test_studentt_rmhmc_blr_matches_hmc(blr, blr_hmc_moments):
+    """Heavy-tailed momentum leaves the invariant distribution unchanged."""
+    hmc_mean, hmc_std = blr_hmc_moments
+    kernel = rmhmc.build(blr, rmhmc.RMHMCConfig(student_t=True))
+    init = jnp.full((48, blr.dim), 1e-3)
+    res = run(kernel, jax.random.key(8), init, num_samples=900, burn_in=300)
+    mean, _ = _moments(res.samples)
+    assert float(res.accept_rate) > 0.3
+    np.testing.assert_allclose(mean, hmc_mean, atol=6 * np.max(hmc_std) / np.sqrt(48))

@@ -53,3 +53,20 @@ def test_sharded_samples_are_distributed():
     res = run(kernel, jax.random.key(1), init, num_samples=10, burn_in=0, mesh=mesh)
     shards = res.samples.sharding.device_set
     assert len(shards) == 8
+
+
+def test_graft_entry_dryrun_multichip():
+    """The driver-facing multichip dry run must pass on the virtual mesh."""
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(len(jax.devices()))
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    pos, accept = jax.block_until_ready(out)
+    assert pos.shape == (64, 6)
+    assert np.isfinite(np.asarray(pos)).all()
