@@ -6,7 +6,7 @@ from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
     ess_multichain,
     nextpow2,
 )
-from riemannhamiltonianmontecarlo_tpu.diagnostics import native
+from riemannhamiltonianmontecarlo_tpu.diagnostics import native, plots
 from riemannhamiltonianmontecarlo_tpu.diagnostics.native import ess_geyer_native
 from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat, split_rhat_device
 
@@ -16,6 +16,7 @@ __all__ = [
     "ess_multichain",
     "nextpow2",
     "native",
+    "plots",
     "ess_geyer_native",
     "split_rhat",
     "split_rhat_device",

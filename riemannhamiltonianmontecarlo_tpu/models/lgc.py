@@ -140,3 +140,77 @@ class LGCModel:
 
     def prior_mean(self) -> Array:
         return jnp.full((self.dim,), self.mu, jnp.float32)
+
+    # -- position-dependent manifold interface (mMALA, ``LGC_mMALA_LV.m``) --
+    #
+    # The exact Fisher metric is G(x) = Sigma^{-1} + diag(m e^x), so
+    # dG_d = m e^{x_d} E_dd is rank-one *diagonal*: every contraction a
+    # manifold sampler needs is elementwise or one matvec -- no (D, D, D)
+    # tensor even at D = 4096.
+
+    def metric(self, x: Array) -> Array:
+        """G(x) = Sigma^{-1} + diag(m e^x).  (..., D) -> (..., D, D).
+
+        NOTE: materializes a dense (D, D) per chain; at D = 4096 use few
+        chains (the reference runs one, ``LGC_mMALA_LV.m``)."""
+        diag = self.m * jnp.exp(x)
+        eye = jnp.eye(self.dim, dtype=x.dtype)
+        return self.sigma_inv + diag[..., None] * eye
+
+    def dg_cache(self, x: Array) -> Array:
+        """(..., D) diagonal weights m e^x;  dG_d = m e^{x_d} E_dd."""
+        return self.m * jnp.exp(x)
+
+    def dg_bilinear(self, x: Array, u: Array, v: Array, *, cache: Array | None = None) -> Array:
+        c = self.dg_cache(x) if cache is None else cache
+        return c * u * v
+
+    def dg_trace(self, x: Array, mmat: Array, *, cache: Array | None = None) -> Array:
+        c = self.dg_cache(x) if cache is None else cache
+        return c * jnp.diagonal(mmat, axis1=-2, axis2=-1)
+
+    def dg_dotted(self, x: Array, mmat: Array, *, cache: Array | None = None) -> Array:
+        """[sum_e (M dG_e M)[:, e]] = M @ (c * diag M)."""
+        c = self.dg_cache(x) if cache is None else cache
+        weights = c * jnp.diagonal(mmat, axis1=-2, axis2=-1)
+        return jnp.einsum("...ie,...e->...i", mmat, weights, precision=_PREC)
+
+    def manifold_state(self, x: Array):
+        from riemannhamiltonianmontecarlo_tpu.models.logreg import ManifoldState
+
+        logp, grad = self.logp_and_grad(x)
+        return ManifoldState(logp, grad, self.metric(x), self.dg_cache(x))
+
+    # -- whitened view (MALA w/ transformation, ``LGC_MALA_Transient.m``) ---
+
+    def whitened(self):
+        """Model over gamma with x = mu + L gamma, L = chol(Sigma).
+
+        The reference's "MALA with transformation" samples in this
+        whitened parametrization (``LGC_MALA_Transient.m:32-37``); the
+        Jacobian is constant so log densities differ by a constant.
+        """
+        sigma_np = grid_covariance(self.n, self.s, self.b)
+        chol = jnp.asarray(
+            np.linalg.cholesky(sigma_np + 1e-10 * np.eye(self.dim)), jnp.float32
+        )
+        model = self
+
+        class _Whitened:
+            dim = model.dim
+
+            def to_x(self, gamma):
+                return model.mu + jnp.matmul(gamma, chol.T, precision=_PREC)
+
+            def logp(self, gamma):
+                return model.logp(self.to_x(gamma))
+
+            def grad(self, gamma):
+                gx = model.grad(self.to_x(gamma))
+                return jnp.matmul(gx, chol, precision=_PREC)
+
+            def logp_and_grad(self, gamma):
+                lp, gx = model.logp_and_grad(self.to_x(gamma))
+                return lp, jnp.matmul(gx, chol, precision=_PREC)
+
+        return _Whitened()

@@ -244,6 +244,11 @@ class StochVolModel:
             dim = 3
             logp = staticmethod(base.logp)
             grad = staticmethod(base.grad)
+
+            @staticmethod
+            def logp_and_grad(th):
+                return base.logp(th), base.grad(th)
+
             metric = staticmethod(mani.metric)
             dg_cache = staticmethod(mani.dg_cache)
             dg_bilinear = staticmethod(mani.dg_bilinear)

@@ -18,6 +18,7 @@ from riemannhamiltonianmontecarlo_tpu.parallel.collectives import (
     cross_chain_mean,
     cross_chain_sum,
 )
+from riemannhamiltonianmontecarlo_tpu.parallel.monitor import monitor, profile_trace
 from riemannhamiltonianmontecarlo_tpu.parallel.runner import RunResult, run
 
 __all__ = [
@@ -27,6 +28,8 @@ __all__ = [
     "run_adaptive",
     "cross_chain_mean",
     "cross_chain_sum",
+    "monitor",
+    "profile_trace",
     "CHAIN_AXIS",
     "make_mesh",
     "chain_sharding",

@@ -72,6 +72,10 @@ class AdaptiveState(NamedTuple):
     inner: Any
     da: DualAveragingState
 
+    @property
+    def position(self):  # runner collection passthrough
+        return self.inner.position
+
 
 @dataclasses.dataclass(frozen=True)
 class AdaptationConfig:

@@ -30,11 +30,16 @@ Array = jax.Array
 
 @dataclasses.dataclass(frozen=True)
 class MALAConfig:
-    step_size: float = 0.1  # BLR_MALA.m:166 (per-dataset switch block)
-    transient: bool = False  # True -> scaling 2 sqrt(D); False -> D^(1/3)
+    step_size: float = 0.1  # per-dataset switch block, e.g. BLR_MALA.m:35
+    transient: bool = False  # True -> scaling k sqrt(D); False -> D^(1/3)
+    # Transient-phase multiplier on sqrt(D): 1 for most datasets
+    # (BLR_MALA.m:36), 2 for ripley (BLR_MALA.m:167).
+    transient_factor: float = 1.0
 
     def scaling(self, dim: int) -> float:
-        return 2.0 * dim**0.5 if self.transient else dim ** (1.0 / 3.0)
+        if self.transient:
+            return self.transient_factor * dim**0.5
+        return dim ** (1.0 / 3.0)
 
 
 class MALAState(NamedTuple):

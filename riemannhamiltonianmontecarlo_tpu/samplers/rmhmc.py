@@ -136,13 +136,20 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
             direction = jnp.ones((c,), state.position.dtype)
         dt = (direction * eps)[:, None]  # (C, 1), broadcast over D
 
-        def momentum_force(w, geo: _Geometry, pm):
-            """dp/dt = grad - 1/2 tr(G^-1 dG_d) + weight * u^T dG_d u, u = G^-1 pm.
+        def force_base(w, geo: _Geometry):
+            """grad - 1/2 tr(G^-1 dG_d): constant across the fixed point."""
+            trace_vec = model.dg_trace(w, geo.inv, cache=geo.cache)
+            return geo.grad - 0.5 * trace_vec
+
+        def momentum_force(w, geo: _Geometry, pm, base):
+            """dp/dt = base + weight * u^T dG_d u, u = G^-1 pm.
 
             weight = 1/2 (Gaussian momentum) or
             ((1+D)/2) / (1 + p^T G^{-1} p) (Student-t, StudentT.m:296).
+            The O(N D^2) trace term is hoisted into ``base`` -- it does not
+            depend on the momentum iterate, so the K fixed-point rounds
+            only pay the cheap O(N D) bilinear contraction.
             """
-            trace_vec = model.dg_trace(w, geo.inv, cache=geo.cache)
             u_vec = jnp.einsum(
                 "...ab,...b->...a", geo.inv, pm, precision=jax.lax.Precision.HIGHEST
             )
@@ -153,16 +160,17 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
                 last = 0.5 * (1.0 + d) * bil / (1.0 + quad)
             else:
                 last = 0.5 * bil
-            return geo.grad - 0.5 * trace_vec + last
+            return base + last
 
         def leapfrog_body(i, carry):
             w, p, geo, bad = carry
             active = (i < n_steps)[:, None]
 
             # (a) implicit momentum half-step: fixed point on p'
+            base = force_base(w, geo)
             pm = p
             for _ in range(n_fp):
-                pm = p + 0.5 * dt * momentum_force(w, geo, pm)
+                pm = p + 0.5 * dt * momentum_force(w, geo, pm, base)
 
             # (b) implicit position step: fixed point on w', G recomputed
             # inside the loop (reference code/rmhmc.py:113-123).
@@ -188,7 +196,9 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
 
             # (c) explicit momentum half-step with fresh geometry at w'.
             geo_new = geometry(wf)
-            p_new = pm + 0.5 * dt * momentum_force(wf, geo_new, pm)
+            p_new = pm + 0.5 * dt * momentum_force(
+                wf, geo_new, pm, force_base(wf, geo_new)
+            )
 
             step_bad = ~(
                 jnp.all(jnp.isfinite(wf), axis=-1)

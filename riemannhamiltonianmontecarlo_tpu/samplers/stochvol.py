@@ -48,6 +48,12 @@ class StochVolConfig:
     hyper_jitter: float = 1e-6  # :258
     randomize_length: bool = True
     random_direction: bool = True
+    # Comparator variants (paper Tables 8-9):
+    #  - "rmhmc": tridiagonal-metric latents + RMHMC hypers (StochVol_RMHMC.m)
+    #  - "hmc": identity-mass leapfrog both blocks (StochVol_HMC.m:57-67,
+    #    defaults L=100, eps=0.03 latents / 0.015 hypers)
+    #  - "mala": Langevin both blocks (StochVol_MALA.m:57-67)
+    method: str = "rmhmc"
 
 
 class StochVolState(NamedTuple):
@@ -73,10 +79,37 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         x = jnp.broadcast_to(model.y, (c, model.num_obs)).astype(position.dtype)
         return StochVolState(position, theta, x)
 
+    def latent_update_mala(key: Array, x: Array, theta: Array):
+        """Langevin proposal on the latent conditional (StochVol_MALA.m)."""
+        k_prop, k_acc = jax.random.split(key)
+        eps = config.latent_step_size
+        g = model.latent_grad(x, theta)
+        mean_fwd = x + 0.5 * eps * g
+        x_new = mean_fwd + jnp.sqrt(eps) * jax.random.normal(k_prop, x.shape, x.dtype)
+        g_new = model.latent_grad(x_new, theta)
+        mean_rev = x_new + 0.5 * eps * g_new
+        log_q_fwd = -0.5 * jnp.sum((x_new - mean_fwd) ** 2, axis=-1) / eps
+        log_q_rev = -0.5 * jnp.sum((x - mean_rev) ** 2, axis=-1) / eps
+        ratio = (
+            model.latent_logp(x_new, theta)
+            + log_q_rev
+            - model.latent_logp(x, theta)
+            - log_q_fwd
+        )
+        divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
+        accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
+        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+
     def latent_update(key: Array, x: Array, theta: Array) -> tuple[Array, Array, Array]:
+        if config.method == "mala":
+            return latent_update_mala(key, x, theta)
         c = x.shape[0]
         k_mom, k_len, k_dir, k_acc = jax.random.split(key, 4)
-        diag, off = model.latent_metric(theta)
+        if config.method == "rmhmc":
+            diag, off = model.latent_metric(theta)
+        else:  # "hmc": identity mass (StochVol_HMC.m)
+            diag = jnp.ones_like(x)
+            off = jnp.zeros(x.shape[:-1] + (x.shape[-1] - 1,), x.dtype)
         chol = tridiag.cholesky(diag, off)
         z = jax.random.normal(k_mom, x.shape, x.dtype)
         p0 = tridiag.matvec_chol(chol, z)
@@ -128,11 +161,33 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         # Block 1: latents.
         x, lat_prob, lat_div = latent_update(k_latent, state.x, state.theta)
 
-        # Block 2: hyperparameters via the generic RMHMC kernel on the
-        # conditional manifold model.
+        # Block 2: hyperparameters via a generic kernel on the conditional
+        # manifold model (method-selected comparator, Tables 8-9).
         hyper_model = model.hyper_manifold(x)
-        hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
-        h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
+        if config.method == "rmhmc":
+            hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
+            h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
+        elif config.method == "hmc":
+            from riemannhamiltonianmontecarlo_tpu.samplers import hmc as hmc_mod
+
+            hyper_kernel = hmc_mod.build(
+                hyper_model,
+                hmc_mod.HMCConfig(
+                    step_size=config.hyper_step_size,
+                    num_leapfrog=config.hyper_num_leapfrog,
+                    randomize_length=config.randomize_length,
+                ),
+            )
+            h_state = hmc_mod.HMCState(state.theta, hyper_model.logp(state.theta))
+        elif config.method == "mala":
+            from riemannhamiltonianmontecarlo_tpu.samplers import mala as mala_mod
+
+            hyper_kernel = mala_mod.build(
+                hyper_model, mala_mod.MALAConfig(step_size=config.hyper_step_size)
+            )
+            h_state = hyper_kernel.init(state.theta)
+        else:
+            raise ValueError(f"unknown stochvol method {config.method!r}")
         h_new, h_info = hyper_kernel.step(k_hyper, h_state)
         theta = h_new.position
 

@@ -47,8 +47,9 @@ _BLR_PRESETS: dict[str, tuple[int, int, dict[str, Any]]] = {
         1000,
         {"step_size": 0.5, "num_leapfrog": 6, "num_fixed_point": 4},
     ),
-    # MCMC/BLR_MALA.m:167 -- transient scaling 2*sqrt(D), stationary D^(1/3)
-    "mala": (10000, 5000, {}),
+    # MCMC/BLR_MALA.m:33-36 -- 25000/20000, per-dataset step size below,
+    # transient scaling sqrt(D) (2 sqrt(D) for ripley), stationary D^(1/3)
+    "mala": (25000, 20000, {}),
     # MCMC/BLR_mMALA.m
     "mmala": (10000, 5000, {"step_size": 1.0}),
     "mmala_simplified": (10000, 5000, {"step_size": 1.0}),
@@ -71,3 +72,15 @@ def reference_preset(sampler: str, dataset: str = "australian", **overrides) -> 
         sampler_kwargs=dict(kwargs),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+# Per-dataset MALA step sizes (BLR_MALA.m switch blocks :35,:70,:105,:135,:166).
+MALA_STEP_SIZES = {
+    "australian": 0.04,
+    "german": 0.013,
+    "heart": 0.075,
+    "pima": 0.025,
+    "ripley": 0.1,
+}
+# Ripley uses the doubled transient scaling (BLR_MALA.m:167).
+MALA_TRANSIENT_FACTOR = {"ripley": 2.0}

@@ -79,3 +79,18 @@ def test_rmhmc_posterior_near_truth(model):
     mean = np.asarray(res.samples).reshape(-1, 3).mean(0)
     err = np.abs(mean - THETA_TRUE)
     assert np.all(err < np.array([0.15, 0.3, 0.3])), (mean, err)
+
+
+def test_fhn_comparator_kernels_smoke(model):
+    """mMALA / MALA / Metropolis run on the ODE model via generic kernels
+    (reference ODE_mMALA.m / ODE_MALA.m / ODE_Metropolis.m comparators)."""
+    from riemannhamiltonianmontecarlo_tpu.samplers import mala, metropolis, mmala
+
+    init = jnp.tile(jnp.asarray(THETA_TRUE, jnp.float32), (4, 1))
+    for kernel in (
+        mmala.build(model, mmala.MMALAConfig(step_size=1.0, jitter=1e-6)),  # ODE_mMALA.m:69
+        mala.build(model, mala.MALAConfig(step_size=2e-4)),  # ODE_MALA.m:64
+        metropolis.build(model, metropolis.AMHConfig(init_proposal_sd=0.05)),
+    ):
+        res = run(kernel, jax.random.key(9), init, num_samples=15, burn_in=5)
+        assert np.isfinite(np.asarray(res.samples)).all()

@@ -73,3 +73,68 @@ def test_lgc_phmc_posterior_field(small_model):
     mean_field = np.asarray(res.samples).reshape(-1, model.dim).mean(0)
     corr = np.corrcoef(mean_field, x_true)[0, 1]
     assert corr > 0.5, corr  # posterior mean tracks the generating field
+
+
+def test_lgc_manifold_contractions(small_model):
+    """dG is diagonal: contractions must match the dense jacfwd oracle."""
+    model, _ = small_model
+    key = jax.random.key(2)
+    x = model.mu + 0.3 * jax.random.normal(key, (2, model.dim))
+    u = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    # dense oracle on a few coordinates: dG_d = m e^{x_d} E_dd
+    c = np.asarray(model.dg_cache(x))
+    m_raw = jax.random.normal(jax.random.fold_in(key, 2), (2, model.dim, model.dim))
+    m_sym = 0.5 * (m_raw + jnp.swapaxes(m_raw, -1, -2))
+    bil = np.asarray(model.dg_bilinear(x, u, u))
+    np.testing.assert_allclose(bil, c * np.asarray(u) ** 2, rtol=1e-5)
+    tra = np.asarray(model.dg_trace(x, m_sym))
+    np.testing.assert_allclose(
+        tra, c * np.asarray(jnp.diagonal(m_sym, axis1=-2, axis2=-1)), rtol=1e-5
+    )
+    dot = np.asarray(model.dg_dotted(x, m_sym))
+    ms = np.asarray(m_sym)
+    expected = np.einsum("cie,ce->ci", ms, c * np.einsum("cee->ce", ms))
+    np.testing.assert_allclose(dot, expected, rtol=2e-4, atol=1e-4)
+
+
+def test_lgc_mmala_small(small_model):
+    from riemannhamiltonianmontecarlo_tpu.samplers import mmala
+
+    model, x_true = small_model
+    kernel = mmala.build(model, mmala.MMALAConfig(step_size=0.07))  # LGC_mMALA_LV.m:33
+    init = jnp.tile(model.prior_mean(), (4, 1))
+    res = run(kernel, jax.random.key(3), init, num_samples=100, burn_in=60)
+    assert float(res.accept_rate) > 0.3
+    assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_lgc_whitened_mala(small_model):
+    from riemannhamiltonianmontecarlo_tpu.samplers import mala
+
+    model, _ = small_model
+    wh = model.whitened()
+    kernel = mala.build(wh, mala.MALAConfig(step_size=1.65**2))  # LGC_MALA_Stationary.m:32
+    warm = mala.build(wh, mala.MALAConfig(step_size=2.0**2, transient=True))
+    init = jnp.zeros((8, model.dim))
+    res = run(kernel, jax.random.key(4), init, num_samples=150, burn_in=100,
+              warmup_kernel=warm)
+    assert np.isfinite(np.asarray(res.samples)).all()
+    # gradient consistency of the whitened view
+    g = wh.grad(init[:1])
+    ad = jax.grad(lambda z: wh.logp(z[None])[0])(init[0])
+    np.testing.assert_allclose(g[0], ad, rtol=5e-3, atol=5e-3)
+
+
+def test_plots_render(small_model, tmp_path):
+    """L5 visualization layer produces figures without a display."""
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import plots
+
+    model, x_true = small_model
+    rng = np.random.default_rng(0)
+    fake = rng.normal(size=(3, 80, 4))
+    f1 = plots.trace_plot(fake)
+    f2 = plots.histogram_plot(fake)
+    f3 = plots.acf_plot(fake, max_lag=40)
+    f4 = plots.field_plot(x_true, x_true + rng.normal(size=x_true.shape) * 0.1)
+    for i, f in enumerate((f1, f2, f3, f4)):
+        f.savefig(tmp_path / f"fig{i}.png")

@@ -70,3 +70,12 @@ def test_graft_entry_single_chip():
     pos, accept = jax.block_until_ready(out)
     assert pos.shape == (64, 6)
     assert np.isfinite(np.asarray(pos)).all()
+
+
+def test_monitor_wrapper_runs(capfd):
+    from riemannhamiltonianmontecarlo_tpu.parallel import monitor
+
+    model = IsoGaussian()
+    kernel = monitor(hmc.build(model, hmc.HMCConfig(step_size=0.3, num_leapfrog=4)), every=5)
+    res = run(kernel, jax.random.key(2), jnp.zeros((8, 2)), num_samples=12, burn_in=0)
+    assert np.isfinite(np.asarray(res.samples)).all()

@@ -78,3 +78,21 @@ def test_posterior_concentrates_near_truth(model):
     assert 0.03 < sigma_m < 0.45, sigma_m
     assert 0.55 < phi_m < 1.0, phi_m
     assert float(res.accept_rate) > 0.4
+
+
+@pytest.mark.parametrize("method", ["hmc", "mala"])
+def test_comparator_methods_run(model, method):
+    """HMC/MALA two-block variants (Tables 8-9) stay finite and accept."""
+    cfg = sv_kernel.StochVolConfig(
+        method=method,
+        latent_num_leapfrog=10,
+        latent_step_size=0.03 if method == "hmc" else 0.02,
+        hyper_step_size=0.015 if method == "hmc" else 0.005,
+        hyper_num_leapfrog=10,
+    )
+    kernel = sv_kernel.build(model, cfg)
+    init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (8, 1))
+    res = run(kernel, jax.random.key(7), init, num_samples=60, burn_in=40)
+    samples = np.asarray(res.samples)
+    assert np.isfinite(samples).all()
+    assert float(res.accept_rate) > 0.05
