@@ -202,6 +202,42 @@ def run_experiment(
     )
 
 
+def aggregate(results: list[ExperimentResult]) -> dict[str, tuple[float, float]]:
+    """Mean +- standard error over independent repeats.
+
+    The reference aggregates 10 runs this way (``code/main.py:43-54``,
+    ``Results/CalculateStatistics.m:7-31``).  Returns
+    {stat: (mean, stderr)} for the ESS summary, sampling time, and
+    time/minESS.
+    """
+    out: dict[str, tuple[float, float]] = {}
+    n = len(results)
+    for stat in (
+        "ess_min",
+        "ess_median",
+        "ess_mean",
+        "ess_max",
+        "sampling_time_s",
+        "time_per_min_ess",
+        "accept_rate",
+    ):
+        vals = np.asarray([getattr(r, stat) for r in results], np.float64)
+        out[stat] = (float(vals.mean()), float(vals.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0)
+    return out
+
+
+def run_repeated(
+    sampler: str, dataset: str = "australian", *, n_repeats: int = 10, seed: int = 0, **kwargs
+) -> tuple[list[ExperimentResult], dict[str, tuple[float, float]]]:
+    """n independent repeats (different seeds) + CalculateStatistics-style
+    aggregation."""
+    results = [
+        run_experiment(sampler, dataset, seed=seed + i, **kwargs)
+        for i in range(n_repeats)
+    ]
+    return results, aggregate(results)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sampler", choices=SAMPLERS, default="rmhmc")

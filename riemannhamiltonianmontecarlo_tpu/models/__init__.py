@@ -15,7 +15,7 @@ from riemannhamiltonianmontecarlo_tpu.models.datasets import (
 from riemannhamiltonianmontecarlo_tpu.models.logreg import LogisticRegression, ManifoldState
 
 from riemannhamiltonianmontecarlo_tpu.models.fhn import FHNModel
-from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCModel
+from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, LGCModel
 from riemannhamiltonianmontecarlo_tpu.models.stochvol import StochVolModel
 
 __all__ = [
@@ -25,6 +25,7 @@ __all__ = [
     "stochvol",
     "FHNModel",
     "LGCModel",
+    "LGCJointModel",
     "StochVolModel",
     "Dataset",
     "load_dataset",

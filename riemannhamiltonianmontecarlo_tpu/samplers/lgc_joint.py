@@ -1,0 +1,145 @@
+"""Joint (hyperparameter, latent-field) sampler for the log-Gaussian Cox model.
+
+Statistical contract from ``LGC_RMHMC_Paras_LV.m`` (SURVEY.md 2.2 C):
+each iteration alternates
+
+1. **hyper block** theta~ = (log sigma^2, log beta) | x: generalized-
+   leapfrog RMHMC with L = 1, eps = 0.2, 3 position / 10 momentum
+   fixed-point steps (``:41-44``), expected-Fisher + prior metric and
+   dense dSigma algebra (see ``models.lgc.LGCJointModel``) -- reusing the
+   generic RMHMC kernel with per-block fixed-point counts;
+2. **latent block** x | theta: constant-metric leapfrog with
+   G = Sigma^{-1} + diag(m exp(mu + diag Sigma)) re-evaluated at the
+   *current* hyperparameters, L = 20, eps = 0.1 (``:46-47``).
+
+Every theta move costs dense (n^2, n^2) factorizations -- on the MXU this
+is minutes for the full 6000 x 64 x 64 run where the paper reports ~90
+CPU-hours.  Batch only a handful of chains (memory: several (C, D, D)
+f32 buffers).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from riemannhamiltonianmontecarlo_tpu.samplers import rmhmc as rmhmc_mod
+from riemannhamiltonianmontecarlo_tpu.samplers.base import Info, Kernel, metropolis_accept
+
+Array = jax.Array
+_PREC = jax.lax.Precision.HIGHEST
+
+
+@dataclasses.dataclass(frozen=True)
+class LGCJointConfig:
+    hyper_num_leapfrog: int = 1  # LGC_RMHMC_Paras_LV.m:41
+    hyper_step_size: float = 0.2  # :42
+    hyper_num_fixed_point: int = 3  # :43 (position)
+    hyper_num_fixed_point_momentum: int = 10  # :44
+    latent_num_leapfrog: int = 20  # :46
+    latent_step_size: float = 0.1  # :47
+    randomize_length: bool = True
+    random_direction: bool = True
+
+
+class LGCJointState(NamedTuple):
+    position: Array  # (C, 2) constrained (sigma^2, beta) -- collected
+    theta: Array  # (C, 2) log coords
+    x: Array  # (C, D) latent field
+
+
+def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
+    hyper_cfg = rmhmc_mod.RMHMCConfig(
+        step_size=config.hyper_step_size,
+        num_leapfrog=config.hyper_num_leapfrog,
+        num_fixed_point=config.hyper_num_fixed_point,
+        num_fixed_point_momentum=config.hyper_num_fixed_point_momentum,
+        randomize_length=config.randomize_length,
+        random_direction=config.random_direction,
+        jitter=1e-6,
+    )
+
+    def init(position: Array) -> LGCJointState:
+        """position: (C, 2) constrained initial (sigma^2, beta)."""
+        c = position.shape[0]
+        theta = jnp.log(position)
+        x = jnp.broadcast_to(
+            jnp.full((model.dim,), model.mu, position.dtype), (c, model.dim)
+        )
+        return LGCJointState(position, theta, x)
+
+    def latent_update(key: Array, x: Array, theta: Array):
+        c = x.shape[0]
+        k_mom, k_len, k_dir, k_acc = jax.random.split(key, 4)
+        sigma_inv, chol_g, g_inv = jax.vmap(model.latent_mass)(theta)
+
+        z = jax.random.normal(k_mom, x.shape, x.dtype)
+        p0 = jnp.einsum("...ab,...b->...a", chol_g, z, precision=_PREC)
+
+        if config.randomize_length:
+            u = jax.random.uniform(k_len, (c,))
+            n_steps = jnp.ceil(u * config.latent_num_leapfrog).astype(jnp.int32)
+        else:
+            n_steps = jnp.full((c,), config.latent_num_leapfrog, jnp.int32)
+        if config.random_direction:
+            direction = jnp.where(jax.random.bernoulli(k_dir, 0.5, (c,)), 1.0, -1.0)
+        else:
+            direction = jnp.ones((c,))
+        dt = (direction * config.latent_step_size)[:, None].astype(x.dtype)
+
+        logp0, grad0 = model.latent_logp_and_grad(x, sigma_inv)
+
+        def body(i, carry):
+            xc, pc, gc = carry
+            active = (i < n_steps)[:, None]
+            p_half = pc + 0.5 * dt * gc
+            x_new = xc + dt * jnp.einsum(
+                "...ab,...b->...a", g_inv, p_half, precision=_PREC
+            )
+            _, g_new = model.latent_logp_and_grad(x_new, sigma_inv)
+            p_new = p_half + 0.5 * dt * g_new
+            xc = jnp.where(active, x_new, xc)
+            pc = jnp.where(active, p_new, pc)
+            gc = jnp.where(active, g_new, gc)
+            return (xc, pc, gc)
+
+        x_prop, p_prop, _ = jax.lax.fori_loop(
+            0, config.latent_num_leapfrog, body, (x, p0, grad0)
+        )
+
+        def kinetic(p):
+            return 0.5 * jnp.einsum(
+                "...a,...ab,...b->...", p, g_inv, p, precision=_PREC
+            )
+
+        logp_prop, _ = model.latent_logp_and_grad(x_prop, sigma_inv)
+        ratio = (logp_prop - kinetic(p_prop)) - (logp0 - kinetic(p0))
+        divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_prop), axis=-1))
+        accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
+        return jnp.where(accept[:, None], x_prop, x), accept_prob, divergent
+
+    def step(key: Array, state: LGCJointState) -> tuple[LGCJointState, Info]:
+        k_hyper, k_latent = jax.random.split(key)
+
+        # Block 1: hyperparameters (reference order: theta first, :168).
+        hyper_model = model.hyper_manifold(state.x)
+        hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
+        h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
+        h_new, h_info = hyper_kernel.step(k_hyper, h_state)
+        theta = h_new.position
+
+        # Block 2: latents at the current hyperparameters.
+        x, lat_prob, lat_div = latent_update(k_latent, state.x, theta)
+
+        position = jnp.exp(theta)
+        info = Info(
+            accept_prob=0.5 * (lat_prob + h_info.accept_prob),
+            accepted=h_info.accepted,
+            divergent=lat_div | h_info.divergent,
+        )
+        return LGCJointState(position, theta, x), info
+
+    return Kernel(init, step)

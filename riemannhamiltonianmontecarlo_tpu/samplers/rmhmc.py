@@ -63,6 +63,13 @@ class RMHMCConfig:
     # matching (1+D)/2 / (1 + p^T G^{-1} p) weights in the leapfrog
     # forces (``:296,327``).
     student_t: bool = False
+    # linalg backend for the per-iteration solves: None (auto), "unrolled",
+    # "xla", "pallas" (chains-last fused TPU kernel).
+    linalg: str | None = None
+    # Some reference configs use different fixed-point counts for the
+    # momentum and position updates (LGC joint: 10 vs 3,
+    # LGC_RMHMC_Paras_LV.m:43-44).  None = use num_fixed_point.
+    num_fixed_point_momentum: int | None = None
 
 
 class RMHMCState(NamedTuple):
@@ -86,13 +93,18 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
     eps = config.step_size
     max_steps = config.num_leapfrog
     n_fp = config.num_fixed_point
+    n_fp_mom = (
+        config.num_fixed_point
+        if config.num_fixed_point_momentum is None
+        else config.num_fixed_point_momentum
+    )
 
     def geometry(w: Array) -> _Geometry:
         ms = model.manifold_state(w)
         g = ms.metric
         if config.jitter:
             g = g + config.jitter * jnp.eye(g.shape[-1], dtype=g.dtype)
-        l = ops.cholesky(g)
+        l = ops.cholesky(g, method=config.linalg)
         inv = ops.inv_psd_from_chol(l)
         half_logdet = 0.5 * ops.logdet_from_chol(l)
         return _Geometry(ms.logp, ms.grad, g, ms.cache, l, inv, half_logdet)
@@ -169,7 +181,7 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
             # (a) implicit momentum half-step: fixed point on p'
             base = force_base(w, geo)
             pm = p
-            for _ in range(n_fp):
+            for _ in range(n_fp_mom):
                 pm = p + 0.5 * dt * momentum_force(w, geo, pm, base)
 
             # (b) implicit position step: fixed point on w', G recomputed
@@ -188,7 +200,7 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
                 g_new = model.metric(wf)
                 if config.jitter:
                     g_new = g_new + config.jitter * jnp.eye(g_new.shape[-1], dtype=g_new.dtype)
-                u_new = ops.solve_psd(g_new, pm)
+                u_new = ops.solve_psd(g_new, pm, method=config.linalg)
                 if config.student_t:
                     qn = jnp.sum(pm * u_new, axis=-1, keepdims=True)
                     u_new = (1.0 + d_dim) * u_new / (1.0 + qn)

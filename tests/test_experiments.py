@@ -52,3 +52,21 @@ def test_all_samplers_buildable():
     for name in SAMPLERS:
         kernel, warm = build_kernel(name, model, "australian", None)
         assert kernel.init is not None and kernel.step is not None
+
+
+def test_run_repeated_aggregation():
+    from riemannhamiltonianmontecarlo_tpu.experiments import run_repeated
+
+    results, agg = run_repeated(
+        "hmc",
+        "australian",
+        n_repeats=2,
+        num_chains=8,
+        num_samples=30,
+        burn_in=10,
+        sampler_overrides={"num_leapfrog": 5, "step_size": 0.1},
+    )
+    assert len(results) == 2
+    mean, stderr = agg["ess_min"]
+    assert mean > 0 and stderr >= 0
+    assert set(agg) >= {"ess_min", "sampling_time_s", "time_per_min_ess"}

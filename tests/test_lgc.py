@@ -138,3 +138,44 @@ def test_plots_render(small_model, tmp_path):
     f4 = plots.field_plot(x_true, x_true + rng.normal(size=x_true.shape) * 0.1)
     for i, f in enumerate((f1, f2, f3, f4)):
         f.savefig(tmp_path / f"fig{i}.png")
+
+
+def test_lgc_joint_sampler_small():
+    """Joint (sigma^2, beta, x) inference on a small grid: hyper posterior
+    stays in a sane region around the generating values and fields stay
+    finite (the reference's 90-hour config, LGC_RMHMC_Paras_LV.m)."""
+    from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data
+    from riemannhamiltonianmontecarlo_tpu.samplers import lgc_joint
+
+    y, x_true = generate_data(seed=7, n=12)
+    model = LGCJointModel(y, n=12)
+    kernel = lgc_joint.build(
+        model, lgc_joint.LGCJointConfig(latent_num_leapfrog=8)
+    )
+    init = jnp.tile(jnp.asarray([1.91, 1.0 / 33.0], jnp.float32), (2, 1))
+    res = run(kernel, jax.random.key(11), init, num_samples=120, burn_in=80)
+    s = np.asarray(res.samples)  # (C, S, 2) constrained (sigma^2, beta)
+    assert np.isfinite(s).all()
+    sig_m, beta_m = s.reshape(-1, 2).mean(0)
+    assert 0.1 < sig_m < 20.0, sig_m
+    assert 0.001 < beta_m < 1.0, beta_m
+    assert float(res.accept_rate) > 0.2
+
+
+def test_lgc_joint_hyper_geometry():
+    """Hyper-block gradient matches autodiff; metric is PD."""
+    from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data
+
+    y, _ = generate_data(seed=8, n=8)
+    model = LGCJointModel(y, n=8)
+    x = jnp.full((model.dim,), model.mu) + 0.1
+    hm = model.hyper_manifold(x)
+    th = jnp.asarray([np.log(1.91), np.log(1 / 33.0)], jnp.float32)
+    g = hm.grad(th)
+    ad = jax.grad(lambda t: hm.logp(t))(th)
+    np.testing.assert_allclose(g, ad, rtol=1e-4, atol=1e-4)
+    metric = np.asarray(hm.metric(th), np.float64)
+    assert np.linalg.eigvalsh(metric).min() > 0
+    # batched matches single
+    gb = hm.metric(jnp.stack([th, th]))
+    np.testing.assert_allclose(np.asarray(gb)[0], metric, rtol=1e-5)
