@@ -53,6 +53,10 @@ class StochVolConfig:
     #  - "hmc": identity-mass leapfrog both blocks (StochVol_HMC.m:57-67,
     #    defaults L=100, eps=0.03 latents / 0.015 hypers)
     #  - "mala": Langevin both blocks (StochVol_MALA.m:57-67)
+    #  - "mmala": manifold MALA both blocks (StochVol_mMALA.m:66-72,
+    #    eps = 0.07 latents / 1.0 hypers); the latent metric is constant
+    #    in x, so the curvature drift terms vanish and the update is
+    #    tridiagonally-preconditioned MALA
     method: str = "rmhmc"
 
 
@@ -100,9 +104,49 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
         return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
 
+    def latent_update_mmala(key: Array, x: Array, theta: Array):
+        """Tridiagonally-preconditioned MALA (StochVol_mMALA.m latents).
+
+        G is constant in x so the mMALA curvature terms vanish:
+        mean = x + eps/2 G^{-1} grad, cov = eps G^{-1}; the log-det
+        contributions cancel between forward and reverse densities.
+        """
+        k_prop, k_acc = jax.random.split(key)
+        eps = config.latent_step_size
+        diag, off = model.latent_metric(theta)
+        chol = tridiag.cholesky(diag, off)
+
+        def drift(xc):
+            g = model.latent_grad(xc, theta)
+            return xc + 0.5 * eps * tridiag.solve(diag, off, g)
+
+        mean_fwd = drift(x)
+        z = jax.random.normal(k_prop, x.shape, x.dtype)
+        # noise ~ N(0, eps G^{-1}): G^{-1} L z has covariance G^{-1}.
+        noise = tridiag.solve(diag, off, tridiag.matvec_chol(chol, z))
+        x_new = mean_fwd + jnp.sqrt(eps) * noise
+        mean_rev = drift(x_new)
+
+        def quad(delta):
+            return jnp.sum(delta * tridiag.matvec(diag, off, delta), axis=-1)
+
+        log_q_fwd = -0.5 * quad(x_new - mean_fwd) / eps
+        log_q_rev = -0.5 * quad(x - mean_rev) / eps
+        ratio = (
+            model.latent_logp(x_new, theta)
+            + log_q_rev
+            - model.latent_logp(x, theta)
+            - log_q_fwd
+        )
+        divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
+        accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
+        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+
     def latent_update(key: Array, x: Array, theta: Array) -> tuple[Array, Array, Array]:
         if config.method == "mala":
             return latent_update_mala(key, x, theta)
+        if config.method == "mmala":
+            return latent_update_mmala(key, x, theta)
         c = x.shape[0]
         k_mom, k_len, k_dir, k_acc = jax.random.split(key, 4)
         if config.method == "rmhmc":
@@ -184,6 +228,14 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
 
             hyper_kernel = mala_mod.build(
                 hyper_model, mala_mod.MALAConfig(step_size=config.hyper_step_size)
+            )
+            h_state = hyper_kernel.init(state.theta)
+        elif config.method == "mmala":
+            from riemannhamiltonianmontecarlo_tpu.samplers import mmala as mmala_mod
+
+            hyper_kernel = mmala_mod.build(
+                hyper_model,
+                mmala_mod.MMALAConfig(step_size=config.hyper_step_size, jitter=1e-6),
             )
             h_state = hyper_kernel.init(state.theta)
         else:

@@ -80,14 +80,14 @@ def test_posterior_concentrates_near_truth(model):
     assert float(res.accept_rate) > 0.4
 
 
-@pytest.mark.parametrize("method", ["hmc", "mala"])
+@pytest.mark.parametrize("method", ["hmc", "mala", "mmala"])
 def test_comparator_methods_run(model, method):
     """HMC/MALA two-block variants (Tables 8-9) stay finite and accept."""
     cfg = sv_kernel.StochVolConfig(
         method=method,
         latent_num_leapfrog=10,
-        latent_step_size=0.03 if method == "hmc" else 0.02,
-        hyper_step_size=0.015 if method == "hmc" else 0.005,
+        latent_step_size={"hmc": 0.03, "mala": 0.02, "mmala": 0.07}[method],
+        hyper_step_size={"hmc": 0.015, "mala": 0.005, "mmala": 1.0}[method],
         hyper_num_leapfrog=10,
     )
     kernel = sv_kernel.build(model, cfg)
