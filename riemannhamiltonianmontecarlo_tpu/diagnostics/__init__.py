@@ -3,6 +3,7 @@
 from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
     autocorrelation,
     ess_geyer,
+    ess_geyer_device,
     ess_multichain,
     nextpow2,
 )
@@ -13,6 +14,7 @@ from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat, split_
 __all__ = [
     "autocorrelation",
     "ess_geyer",
+    "ess_geyer_device",
     "ess_multichain",
     "nextpow2",
     "native",

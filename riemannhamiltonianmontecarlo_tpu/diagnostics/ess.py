@@ -32,6 +32,7 @@ not hot-path, and the reference pipeline is float64.
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 
@@ -79,6 +80,36 @@ def ess_geyer(
     mono = -acs[0] + 2.0 * np.sum(np.where(gamma > 0.0, gamma, 0.0), axis=0)
     mono = np.maximum(mono, 1.0)
     return n / mono
+
+
+def ess_geyer_device(samples, max_lag: int | None = None):
+    """Device-side Geyer ESS (exact/alias-free mode), pure jnp.
+
+    samples: (N, P) or (C, N, P) jax array -> (P,) [summed over chains].
+    Uses a power-of-2 FFT (TPU-supported); equivalent to
+    ``ess_geyer(..., nfft_mode="exact")`` up to f32 precision.  Useful for
+    in-loop monitoring without host transfers.
+    """
+    import jax.numpy as jnp
+
+    x = samples
+    multichain = x.ndim == 3
+    if not multichain:
+        x = x[None]
+    c, n, p = x.shape
+    if max_lag is None:
+        max_lag = n - 1
+    nfft = 2 * nextpow2(n)
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    f = jnp.fft.fft(xc, n=nfft, axis=1)
+    acf = jnp.fft.ifft(f * jnp.conj(f), axis=1).real[:, : max_lag + 1]
+    acf = acf / jnp.maximum(acf[:, :1], 1e-30)
+    half = (max_lag + 1) // 2
+    gamma = acf[:, 0 : 2 * half : 2] + acf[:, 1 : 2 * half : 2]
+    gamma = jax.lax.associative_scan(jnp.minimum, gamma, axis=1)
+    mono = -acf[:, 0] + 2.0 * jnp.sum(jnp.where(gamma > 0.0, gamma, 0.0), axis=1)
+    ess = n / jnp.maximum(mono, 1.0)
+    return jnp.sum(ess, axis=0) if multichain else ess[0]
 
 
 def ess_multichain(

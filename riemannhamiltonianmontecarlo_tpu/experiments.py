@@ -175,19 +175,33 @@ def run_experiment(
     t_half = time.perf_counter() - t0
     sampling_time = 2.0 * t_half
 
-    samples = np.concatenate(
-        [np.asarray(res_a.samples), np.asarray(res_b.samples)], axis=1
-    )  # (C, S, D)
-    ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
-    flat = samples.reshape(-1, samples.shape[-1])
     accept = 0.5 * (float(res_a.accept_rate) + float(res_b.accept_rate))
     div = int(res_a.divergences) + int(res_b.divergences)
+
+    if ess_mode == "device":
+        # Compute ESS and posterior moments on-device: only tiny arrays
+        # cross the host link (matters on tunneled TPU backends where a
+        # (C, S, D) sample transfer costs minutes).  Alias-free ACF.
+        dev_samples = jnp.concatenate([res_a.samples, res_b.samples], axis=1)
+        ess = np.asarray(diagnostics.ess_geyer_device(dev_samples))
+        flat_mean = np.asarray(jnp.mean(dev_samples, axis=(0, 1)))
+        flat_std = np.asarray(jnp.std(dev_samples, axis=(0, 1)))
+        num_kept = int(dev_samples.shape[1])
+        samples = np.asarray(dev_samples) if keep_samples else None
+    else:
+        samples = np.concatenate(
+            [np.asarray(res_a.samples), np.asarray(res_b.samples)], axis=1
+        )  # (C, S, D)
+        ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
+        flat = samples.reshape(-1, samples.shape[-1])
+        flat_mean, flat_std = flat.mean(axis=0), flat.std(axis=0)
+        num_kept = samples.shape[1]
 
     return ExperimentResult(
         sampler=sampler,
         dataset=dataset,
         num_chains=num_chains,
-        num_samples=samples.shape[1],
+        num_samples=num_kept,
         ess_min=float(ess.min()),
         ess_median=float(np.median(ess)),
         ess_mean=float(ess.mean()),
@@ -196,8 +210,8 @@ def run_experiment(
         time_per_min_ess=sampling_time / float(ess.min()),
         accept_rate=accept,
         divergences=div,
-        posterior_mean=flat.mean(axis=0),
-        posterior_std=flat.std(axis=0),
+        posterior_mean=flat_mean,
+        posterior_std=flat_std,
         samples=samples if keep_samples else None,
     )
 
@@ -247,7 +261,7 @@ def main(argv=None) -> None:
     ap.add_argument("--burn-in", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init", choices=("map", "zeros", "reference"), default="map")
-    ap.add_argument("--ess-mode", choices=("reference", "exact"), default="reference")
+    ap.add_argument("--ess-mode", choices=("reference", "exact", "device"), default="reference")
     args = ap.parse_args(argv)
     res = run_experiment(
         args.sampler,

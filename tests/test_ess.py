@@ -97,3 +97,19 @@ def test_native_ess_matches_numpy_exact_mode():
     np.testing.assert_allclose(
         got3, ess_multichain(stacked, nfft_mode="exact"), rtol=1e-10
     )
+
+
+def test_device_ess_matches_numpy_exact():
+    import jax.numpy as jnp
+
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_geyer_device
+
+    rng = np.random.default_rng(12)
+    x = ar1_samples(rng, 1500, 3, rho=0.8)
+    got = np.asarray(ess_geyer_device(jnp.asarray(x, jnp.float32)))
+    expected = ess_geyer(x, nfft_mode="exact")
+    np.testing.assert_allclose(got, expected, rtol=2e-2)
+
+    stacked = np.stack([x, x * 0.5 + 1.0])
+    got3 = np.asarray(ess_geyer_device(jnp.asarray(stacked, jnp.float32)))
+    np.testing.assert_allclose(got3, ess_multichain(stacked, nfft_mode="exact"), rtol=2e-2)

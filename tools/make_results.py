@@ -60,6 +60,7 @@ def main() -> None:
                 num_chains=chains,
                 num_samples=samples,
                 burn_in=burn,
+                ess_mode="device",
             )
         except Exception as e:  # keep the table going
             print(f"    FAILED: {e}", flush=True)
@@ -72,7 +73,7 @@ def main() -> None:
         f"# RESULTS -- {args.dataset}, single TPU v5e chip",
         "",
         "All samplers at reference hyperparameters (utils/config.py presets),",
-        "MAP+jitter init, Geyer reference-mode ESS summed over chains, timing =",
+        "MAP+jitter init, Geyer ESS (device, alias-free ACF) summed over chains, timing =",
         "steady-state sampling phase only.  Paper column: Table 3 single-chain",
         "MATLAB s/minESS (BASELINE.md).  speedup = paper / ours.",
         "",
