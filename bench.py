@@ -136,4 +136,20 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally drops mid-run (UNAVAILABLE /
+    # FAILED_PRECONDITION backend errors); re-exec into a fresh process
+    # (fresh backend client) so a transient fault doesn't void the
+    # benchmark record.
+    attempt = int(sys.argv[sys.argv.index("--attempt") + 1]) if "--attempt" in sys.argv else 0
+    try:
+        main()
+    except Exception:
+        if attempt >= 2:
+            raise
+        import os
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(f"bench attempt {attempt} failed; retrying", file=sys.stderr)
+        time.sleep(20.0 * (attempt + 1))
+        os.execv(sys.executable, [sys.executable, __file__, "--attempt", str(attempt + 1)])

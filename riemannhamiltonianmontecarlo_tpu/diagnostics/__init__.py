@@ -8,6 +8,7 @@ from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
     nextpow2,
 )
 from riemannhamiltonianmontecarlo_tpu.diagnostics import native, plots
+from riemannhamiltonianmontecarlo_tpu.diagnostics.geweke import geweke_z
 from riemannhamiltonianmontecarlo_tpu.diagnostics.native import ess_geyer_native
 from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat, split_rhat_device
 
@@ -20,6 +21,7 @@ __all__ = [
     "native",
     "plots",
     "ess_geyer_native",
+    "geweke_z",
     "split_rhat",
     "split_rhat_device",
 ]

@@ -252,27 +252,239 @@ def run_repeated(
     return results, aggregate(results)
 
 
+# --------------------------------------------------------------------------
+# Non-BLR workloads: the reference's Run_* / RunFHN_* scripts as one driver.
+# --------------------------------------------------------------------------
+
+WORKLOAD_SAMPLERS = {
+    "blr": SAMPLERS,
+    "stochvol": ("rmhmc", "hmc", "mala", "mmala"),
+    "lgc": ("rmhmc", "mmala", "mala_transient", "mala_stationary"),
+    "fhn": ("rmhmc", "hmc", "mala", "mmala", "mmala_simplified", "metropolis"),
+}
+
+
+def timed_sampling(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
+                   collect_fn=None, warmup_kernel=None):
+    """Two-half steady-state timing protocol (see module docstring).
+
+    Returns (samples, accept_rate, divergences, sampling_time_s); samples
+    concatenates both halves along the sample axis.
+    """
+    key = jax.random.key(seed)
+    k_w, k_a, k_b = jax.random.split(key, 3)
+    warm = parallel.run(kernel, k_w, init, num_samples=max(burn_in, 1), collect=False,
+                        warmup_kernel=warmup_kernel)
+    jax.block_until_ready(jax.tree.leaves(warm.final_state)[0])
+
+    half = max(num_samples // 2, 1)
+    res_a = parallel.run(kernel, k_a, None, num_samples=half,
+                         init_state=warm.final_state, collect_fn=collect_fn)
+    jax.block_until_ready(jax.tree.leaves(res_a.samples)[0])
+    t0 = time.perf_counter()
+    res_b = parallel.run(kernel, k_b, None, num_samples=half,
+                         init_state=res_a.final_state, collect_fn=collect_fn)
+    jax.block_until_ready(jax.tree.leaves(res_b.samples)[0])
+    t = 2.0 * (time.perf_counter() - t0)
+
+    samples = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
+                           res_a.samples, res_b.samples)
+    accept = 0.5 * (float(res_a.accept_rate) + float(res_b.accept_rate))
+    div = int(res_a.divergences) + int(res_b.divergences)
+    return samples, accept, div, t
+
+
+def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | None = None,
+                   seed: int = 0, stochvol_obs: int = 2000, lgc_n: int = 64,
+                   fhn_obs: int = 200, fhn_substeps: int = 5):
+    """(kernel, init_position_fn, collect_fn, groups_fn) at reference constants.
+
+    ``groups_fn(samples) -> {group_name: (C, S, P) array}`` maps the raw
+    collected pytree to the named quantities whose ESS the paper reports
+    (e.g. StochVol hyperparameters vs latent volatilities, Tables 8/9).
+    """
+    kw = dict(overrides or {})
+    s = samplers
+
+    if workload == "stochvol":
+        from riemannhamiltonianmontecarlo_tpu.models import stochvol as sv_model
+        from riemannhamiltonianmontecarlo_tpu.samplers import stochvol as sv
+
+        y, _ = sv_model.generate_data(seed=seed, num_obs=stochvol_obs)
+        model = sv_model.StochVolModel(jnp.asarray(y, jnp.float32))
+        t13 = stochvol_obs ** (1.0 / 3.0)
+        presets = {
+            # StochVol_RMHMC.m:66-77
+            "rmhmc": dict(),
+            # StochVol_HMC.m:57-67
+            "hmc": dict(method="hmc", latent_num_leapfrog=100, latent_step_size=0.03,
+                        hyper_num_leapfrog=100, hyper_step_size=0.015),
+            # StochVol_MALA.m stationary phase (:279-283): eps = StepSize/T^(1/3)
+            "mala": dict(method="mala", latent_step_size=0.03 / t13,
+                         hyper_step_size=0.005 / t13),
+            # StochVol_mMALA.m:66-72
+            "mmala": dict(method="mmala", latent_step_size=0.07, hyper_step_size=1.0),
+        }
+        cfg = sv.StochVolConfig(**{**presets[sampler], **kw})
+        kernel = sv.build(model, cfg)
+
+        def init_fn(chains: int):
+            # (beta, sigma, phi) = 0.5, StochVol_RMHMC.m:86-89
+            return jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
+
+        collect_fn = lambda st: (st.position, st.x)  # noqa: E731
+        groups_fn = lambda smp: {"hyper": smp[0], "latent": smp[1]}  # noqa: E731
+        return kernel, init_fn, collect_fn, groups_fn
+
+    if workload == "lgc":
+        from riemannhamiltonianmontecarlo_tpu.models import lgc as lgc_model
+        from riemannhamiltonianmontecarlo_tpu.samplers import phmc
+
+        y, _ = lgc_model.generate_data(seed=seed, n=lgc_n)
+        model = lgc_model.LGCModel(jnp.asarray(y, jnp.float32), n=lgc_n)
+
+        if sampler in ("mala_transient", "mala_stationary"):
+            # Whitened parametrization, LGC_MALA_Transient.m:32-33 /
+            # LGC_MALA_Stationary.m:32-33.
+            wh = model.whitened()
+            cfg = (s.mala.MALAConfig(step_size=2.0, transient=True, **kw)
+                   if sampler == "mala_transient"
+                   else s.mala.MALAConfig(step_size=1.65 ** 2, **kw))
+            kernel = s.mala.build(wh, cfg)
+            lift = jax.jit(jax.vmap(wh.to_x))
+            return (kernel, lambda c: jnp.zeros((c, model.dim)), None,
+                    lambda smp: {"latent": lift(smp)})
+
+        if sampler == "mmala":
+            # LGC_mMALA_LV.m:31-34
+            kernel = s.mmala.build(model, s.mmala.MMALAConfig(
+                **{"step_size": 0.07, "jitter": 1e-5, **kw}))
+        elif sampler == "rmhmc":
+            # Constant-metric RMHMC == preconditioned HMC,
+            # LGC_RMHMC_LV.m:95-101,149-196 (L=30, eps=0.1 :32-33).
+            kernel = phmc.build(model, model.metric_chol, model.metric_inv,
+                                phmc.PHMCConfig(**{"step_size": 0.1,
+                                                   "num_leapfrog": 30, **kw}))
+        else:
+            raise KeyError(f"unknown lgc sampler '{sampler}'")
+        prior = model.prior_mean()
+        return (kernel, lambda c: jnp.tile(prior, (c, 1)), None,
+                lambda smp: {"latent": smp})
+
+    if workload == "fhn":
+        from riemannhamiltonianmontecarlo_tpu.models import fhn as fhn_model
+
+        data, _ = fhn_model.generate_data(seed=seed if seed > 0 else 1, num_obs=fhn_obs)
+        model = fhn_model.FHNModel(jnp.asarray(data, jnp.float32), substeps=fhn_substeps)
+        builders = {
+            # ODE_RMHMC.m:72-74
+            "rmhmc": lambda: s.rmhmc.build(model, s.rmhmc.RMHMCConfig(
+                **{"step_size": 0.5, "num_leapfrog": 6, "num_fixed_point": 5,
+                   "jitter": 1e-6, **kw})),
+            # ODE_HMC.m:68-69
+            "hmc": lambda: s.hmc.build(model, s.hmc.HMCConfig(
+                **{"step_size": 1.0 / 150.0, "num_leapfrog": 150, **kw})),
+            # ODE_MALA.m:64
+            "mala": lambda: s.mala.build(model, s.mala.MALAConfig(
+                **{"step_size": 2e-4, **kw})),
+            # ODE_mMALA.m:69
+            "mmala": lambda: s.mmala.build(model, s.mmala.MMALAConfig(
+                **{"step_size": 1.0, "jitter": 1e-6, **kw})),
+            # ODE_mMALA_Simp.m:74
+            "mmala_simplified": lambda: s.mmala.build(model, s.mmala.MMALAConfig(
+                **{"step_size": 1.0, "simplified": True, "jitter": 1e-6, **kw})),
+            "metropolis": lambda: s.metropolis.build(model, s.metropolis.AMHConfig(
+                **{"init_proposal_sd": 0.05, **kw})),
+        }
+        kernel = builders[sampler]()
+        theta0 = jnp.asarray([0.2, 0.2, 3.0], jnp.float32)
+
+        def init_fn(chains: int):
+            jitter = 1.0 + 0.05 * jax.random.normal(jax.random.key(seed + 11), (chains, 3))
+            return jnp.tile(theta0, (chains, 1)) * jitter
+
+        return kernel, init_fn, None, lambda smp: {"params": smp}
+
+    raise KeyError(f"unknown workload '{workload}'; options: {tuple(WORKLOAD_SAMPLERS)}")
+
+
+@dataclasses.dataclass
+class WorkloadResult:
+    workload: str
+    sampler: str
+    num_chains: int
+    num_samples: int
+    accept_rate: float
+    divergences: int
+    sampling_time_s: float
+    ess: dict[str, np.ndarray]  # group -> per-coordinate chain-summed ESS
+
+    def summary(self) -> str:
+        lines = [
+            f"{self.workload}/{self.sampler}: {self.num_chains} chains x "
+            f"{self.num_samples} samples   accept {self.accept_rate:.3f}   "
+            f"divergences {self.divergences}   sampling {self.sampling_time_s:.3f} s"
+        ]
+        for group, ess in self.ess.items():
+            lines.append(
+                f"  {group}: ESS min {ess.min():.0f}  median {np.median(ess):.0f}  "
+                f"max {ess.max():.0f}   time/minESS {self.sampling_time_s / ess.min():.3e} s"
+            )
+        return "\n".join(lines)
+
+
+def run_workload(workload: str, sampler: str, *, num_chains: int = 64,
+                 num_samples: int = 1000, burn_in: int = 300, seed: int = 0,
+                 overrides: dict[str, Any] | None = None, **data_kw) -> WorkloadResult:
+    """Reference-preset experiment on any of the four workloads."""
+    if workload == "blr":
+        raise ValueError("use run_experiment(...) for the BLR workload")
+    kernel, init_fn, collect_fn, groups_fn = build_workload(
+        workload, sampler, overrides=overrides, seed=seed, **data_kw)
+    samples, accept, div, t = timed_sampling(
+        kernel, init_fn(num_chains), burn_in=burn_in, num_samples=num_samples,
+        seed=seed, collect_fn=collect_fn)
+    ess = {g: np.asarray(diagnostics.ess_geyer_device(a))
+           for g, a in groups_fn(samples).items()}
+    num_kept = int(jax.tree.leaves(samples)[0].shape[1])
+    return WorkloadResult(workload, sampler, num_chains, num_kept, accept, div, t, ess)
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--sampler", choices=SAMPLERS, default="rmhmc")
+    ap.add_argument("--workload", choices=tuple(WORKLOAD_SAMPLERS), default="blr")
+    ap.add_argument("--sampler", default="rmhmc")
     ap.add_argument("--dataset", default="australian")
-    ap.add_argument("--chains", type=int, default=1024)
+    ap.add_argument("--chains", type=int, default=None)
     ap.add_argument("--samples", type=int, default=None)
     ap.add_argument("--burn-in", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init", choices=("map", "zeros", "reference"), default="map")
     ap.add_argument("--ess-mode", choices=("reference", "exact", "device"), default="reference")
     args = ap.parse_args(argv)
-    res = run_experiment(
-        args.sampler,
-        args.dataset,
-        num_chains=args.chains,
-        num_samples=args.samples,
-        burn_in=args.burn_in,
-        seed=args.seed,
-        init=args.init,
-        ess_mode=args.ess_mode,
-    )
+    if args.sampler not in WORKLOAD_SAMPLERS[args.workload]:
+        ap.error(f"sampler '{args.sampler}' not available for workload "
+                 f"'{args.workload}' (options: {WORKLOAD_SAMPLERS[args.workload]})")
+    if args.workload == "blr":
+        res = run_experiment(
+            args.sampler,
+            args.dataset,
+            num_chains=args.chains or 1024,
+            num_samples=args.samples,
+            burn_in=args.burn_in,
+            seed=args.seed,
+            init=args.init,
+            ess_mode=args.ess_mode,
+        )
+    else:
+        res = run_workload(
+            args.workload,
+            args.sampler,
+            num_chains=args.chains or 64,
+            num_samples=args.samples or 1000,
+            burn_in=args.burn_in if args.burn_in is not None else 300,
+            seed=args.seed,
+        )
     print(res.summary())
 
 

@@ -42,13 +42,13 @@ def _position_of(state) -> Array:
     return state.position
 
 
-@partial(jax.jit, static_argnames=("step", "num_steps", "collect"))
-def _scan_phase(step, key, state, num_steps: int, collect: bool):
+@partial(jax.jit, static_argnames=("step", "num_steps", "collect", "collect_fn"))
+def _scan_phase(step, key, state, num_steps: int, collect: bool, collect_fn=None):
     keys = jax.random.split(key, num_steps)
 
     def body(st, k):
         st, info = step(k, st)
-        out = _position_of(st) if collect else None
+        out = (collect_fn or _position_of)(st) if collect else None
         stats = (jnp.mean(info.accept_prob), jnp.sum(info.divergent))
         return st, (out, stats)
 
@@ -72,12 +72,16 @@ def run(
     collect: bool = True,
     warmup_kernel: Kernel | None = None,
     init_state=None,
+    collect_fn=None,
 ) -> RunResult:
     """Run ``burn_in`` warmup steps then collect ``num_samples`` samples.
 
     init_position: (C, D).  Returns samples as (C, num_samples // thin, D).
     ``warmup_kernel`` (same state type) replaces ``kernel`` during burn-in
     -- e.g. MALA's transient-scaling phase (``BLR_MALA.m:167,243``).
+    ``collect_fn`` maps the kernel state to the pytree recorded each step
+    (default: ``state.position``) -- e.g. both hyperparameters and latent
+    volatilities of the StochVol two-block state.
     """
     if init_state is not None:
         state = init_state  # continue from a previous run's final_state
@@ -96,16 +100,19 @@ def run(
 
     if collect:
         state, positions, accept, div = _scan_phase(
-            kernel.step, k_sample, state, num_samples, True
+            kernel.step, k_sample, state, num_samples, True, collect_fn
         )
+
         # (S, C, D) -> (C, S, D); thinning keeps a static subset.
-        samples = jnp.moveaxis(positions, 0, 1)
-        if thin > 1:
-            samples = samples[:, (thin - 1) :: thin]
-        if mesh is not None:
-            samples = jax.lax.with_sharding_constraint(
-                samples, chain_sharding(mesh, 3)
-            )
+        def _to_samples(pos):
+            s = jnp.moveaxis(pos, 0, 1)
+            if thin > 1:
+                s = s[:, (thin - 1) :: thin]
+            if mesh is not None:
+                s = jax.lax.with_sharding_constraint(s, chain_sharding(mesh, s.ndim))
+            return s
+
+        samples = jax.tree.map(_to_samples, positions)
     else:
         state, accept, div = _scan_phase(kernel.step, k_sample, state, num_samples, False)
         samples = None

@@ -113,3 +113,22 @@ def test_device_ess_matches_numpy_exact():
     stacked = np.stack([x, x * 0.5 + 1.0])
     got3 = np.asarray(ess_geyer_device(jnp.asarray(stacked, jnp.float32)))
     np.testing.assert_allclose(got3, ess_multichain(stacked, nfft_mode="exact"), rtol=2e-2)
+
+
+def test_geweke_z_stationary_vs_drifting():
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import geweke_z
+
+    rng = np.random.default_rng(0)
+    stationary = rng.normal(size=(4000, 3))
+    z = geweke_z(stationary)
+    assert z.shape == (3,)
+    assert np.all(np.abs(z) < 4.0), z
+
+    drifting = stationary + np.linspace(0.0, 5.0, 4000)[:, None]
+    zd = geweke_z(drifting)
+    assert np.all(np.abs(zd) > 5.0), zd
+
+    # chain-axis form
+    zc = geweke_z(np.stack([stationary, drifting]))
+    assert zc.shape == (2, 3)
+    assert np.abs(zc[0]).max() < 4.0 < np.abs(zc[1]).min()

@@ -70,3 +70,62 @@ def test_run_repeated_aggregation():
     mean, stderr = agg["ess_min"]
     assert mean > 0 and stderr >= 0
     assert set(agg) >= {"ess_min", "sampling_time_s", "time_per_min_ess"}
+
+
+def test_run_collect_fn_pytree():
+    """collect_fn records an arbitrary state pytree (e.g. StochVol theta+x)."""
+    import jax
+    import jax.numpy as jnp
+
+    from riemannhamiltonianmontecarlo_tpu import models, parallel, utils
+    from riemannhamiltonianmontecarlo_tpu.samplers import mala
+
+    ds = models.synthetic_logreg(seed=0, n=32, d=4)
+    model = models.LogisticRegression(jnp.asarray(ds.X, jnp.float32), jnp.asarray(ds.t, jnp.float32))
+    kernel = mala.build(model, mala.MALAConfig(step_size=0.2))
+    init = utils.default_init(model, jax.random.key(0), num_chains=6)
+
+    res = parallel.run(
+        kernel,
+        jax.random.key(1),
+        init,
+        num_samples=8,
+        burn_in=2,
+        collect_fn=lambda st: {"w": st.position, "lp": st.logp},
+    )
+    assert res.samples["w"].shape == (6, 8, model.dim)
+    assert res.samples["lp"].shape == (6, 8)
+
+    # default path unchanged
+    res2 = parallel.run(kernel, jax.random.key(1), init, num_samples=8, burn_in=2)
+    assert res2.samples.shape == (6, 8, model.dim)
+
+
+def test_run_workload_stochvol_small():
+    from riemannhamiltonianmontecarlo_tpu.experiments import run_workload
+
+    res = run_workload("stochvol", "mala", num_chains=8, num_samples=20, burn_in=10,
+                       stochvol_obs=60)
+    assert set(res.ess) == {"hyper", "latent"}
+    assert res.ess["hyper"].shape == (3,)
+    assert res.ess["latent"].shape == (60,)
+    assert np.isfinite(res.sampling_time_s)
+    assert "stochvol/mala" in res.summary()
+
+
+def test_run_workload_fhn_small():
+    from riemannhamiltonianmontecarlo_tpu.experiments import run_workload
+
+    res = run_workload("fhn", "mala", num_chains=4, num_samples=10, burn_in=4,
+                       fhn_obs=30, fhn_substeps=2)
+    assert res.ess["params"].shape == (3,)
+
+
+def test_run_workload_lgc_small():
+    from riemannhamiltonianmontecarlo_tpu.experiments import run_workload
+
+    res = run_workload("lgc", "rmhmc", num_chains=4, num_samples=16, burn_in=8, lgc_n=8)
+    assert res.ess["latent"].shape == (64,)
+    res_w = run_workload("lgc", "mala_stationary", num_chains=4, num_samples=16,
+                         burn_in=8, lgc_n=8)
+    assert res_w.ess["latent"].shape == (64,)
