@@ -82,13 +82,17 @@ def ess_geyer(
     return n / mono
 
 
-def ess_geyer_device(samples, max_lag: int | None = None):
+def ess_geyer_device(samples, max_lag: int | None = None, max_bytes: int = 1 << 29):
     """Device-side Geyer ESS (exact/alias-free mode), pure jnp.
 
     samples: (N, P) or (C, N, P) jax array -> (P,) [summed over chains].
     Uses a power-of-2 FFT (TPU-supported); equivalent to
     ``ess_geyer(..., nfft_mode="exact")`` up to f32 precision.  Useful for
     in-loop monitoring without host transfers.
+
+    The parameter axis is processed in chunks so the complex FFT scratch
+    stays under ``max_bytes`` (the full LGC/StochVol latent fields would
+    otherwise need multi-GB buffers: C x 2*nextpow2(N) x P complex64).
     """
     import jax.numpy as jnp
 
@@ -100,15 +104,26 @@ def ess_geyer_device(samples, max_lag: int | None = None):
     if max_lag is None:
         max_lag = n - 1
     nfft = 2 * nextpow2(n)
+
+    def chunk_ess(xc_chunk):
+        f = jnp.fft.fft(xc_chunk, n=nfft, axis=1)
+        acf = jnp.fft.ifft(f * jnp.conj(f), axis=1).real[:, : max_lag + 1]
+        acf = acf / jnp.maximum(acf[:, :1], 1e-30)
+        half = (max_lag + 1) // 2
+        gamma = acf[:, 0 : 2 * half : 2] + acf[:, 1 : 2 * half : 2]
+        gamma = jax.lax.associative_scan(jnp.minimum, gamma, axis=1)
+        mono = -acf[:, 0] + 2.0 * jnp.sum(jnp.where(gamma > 0.0, gamma, 0.0), axis=1)
+        return n / jnp.maximum(mono, 1.0)  # (C, chunk)
+
     xc = x - jnp.mean(x, axis=1, keepdims=True)
-    f = jnp.fft.fft(xc, n=nfft, axis=1)
-    acf = jnp.fft.ifft(f * jnp.conj(f), axis=1).real[:, : max_lag + 1]
-    acf = acf / jnp.maximum(acf[:, :1], 1e-30)
-    half = (max_lag + 1) // 2
-    gamma = acf[:, 0 : 2 * half : 2] + acf[:, 1 : 2 * half : 2]
-    gamma = jax.lax.associative_scan(jnp.minimum, gamma, axis=1)
-    mono = -acf[:, 0] + 2.0 * jnp.sum(jnp.where(gamma > 0.0, gamma, 0.0), axis=1)
-    ess = n / jnp.maximum(mono, 1.0)
+    chunk = max(int(max_bytes // (8 * c * nfft)), 1)
+    if chunk >= p:
+        ess = chunk_ess(xc)
+    else:
+        parts = [
+            chunk_ess(xc[:, :, lo : lo + chunk]) for lo in range(0, p, chunk)
+        ]
+        ess = jnp.concatenate(parts, axis=1)
     return jnp.sum(ess, axis=0) if multichain else ess[0]
 
 

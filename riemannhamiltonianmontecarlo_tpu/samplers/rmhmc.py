@@ -75,6 +75,15 @@ class RMHMCConfig:
 class RMHMCState(NamedTuple):
     position: Array  # (C, D)
     logp: Array  # (C,)
+    # Cached _Geometry at ``position`` (None = recompute lazily).  The
+    # geometry of the accepted point is always known at the end of a step
+    # (fresh on accept, carried on reject), so steady-state sampling never
+    # rebuilds G/chol(G)/G^{-1} at the current point -- one of the ~L+1
+    # geometry builds per step the reference pays (``code/rmhmc.py:50-60``
+    # runs unconditionally every iteration).  Block-Gibbs users whose model
+    # changes between calls (``samplers/stochvol.py``, ``lgc_joint.py``)
+    # construct the state without a cache and take the lazy path.
+    geo: object = None
 
 
 class _Geometry(NamedTuple):
@@ -121,13 +130,14 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
         return -geo.logp + geo.half_logdet + kinetic
 
     def init(position: Array) -> RMHMCState:
-        return RMHMCState(position, model.logp(position))
+        geo = geometry(position)
+        return RMHMCState(position, geo.logp, geo)
 
     def step(key: Array, state: RMHMCState) -> tuple[RMHMCState, Info]:
         c = state.position.shape[0]
         k_mom, k_chi, k_len, k_dir, k_acc = jax.random.split(key, 5)
 
-        geo0 = geometry(state.position)
+        geo0 = geometry(state.position) if state.geo is None else state.geo
         p0 = ops.mvn_sample(k_mom, geo0.chol)
         if config.student_t:
             # t_1(0, G) = N(0, G) / sqrt(chi^2_1)  (mvtrnd(G,1), StudentT.m:265)
@@ -235,7 +245,10 @@ def build(model, config: RMHMCConfig = RMHMCConfig()) -> Kernel:
         divergent = bad | ~jnp.isfinite(ratio)
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
 
-        new_state = tree_where(accept, RMHMCState(w_prop, geo_prop.logp), state)
+        cur_state = RMHMCState(state.position, state.logp, geo0)
+        new_state = tree_where(
+            accept, RMHMCState(w_prop, geo_prop.logp, geo_prop), cur_state
+        )
         return new_state, Info(accept_prob, accept, divergent)
 
     return Kernel(init, step)

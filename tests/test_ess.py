@@ -132,3 +132,15 @@ def test_geweke_z_stationary_vs_drifting():
     zc = geweke_z(np.stack([stationary, drifting]))
     assert zc.shape == (2, 3)
     assert np.abs(zc[0]).max() < 4.0 < np.abs(zc[1]).min()
+
+
+def test_device_ess_chunked_matches_unchunked():
+    """Tiny max_bytes forces the parameter-chunked FFT path (OOM guard)."""
+    from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_geyer_device
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(np.stack([ar1_samples(rng, 400, 7, rho=0.6) for _ in range(3)]),
+                    jnp.float32)
+    full = np.asarray(ess_geyer_device(x))
+    chunked = np.asarray(ess_geyer_device(x, max_bytes=3 * 8 * 1024 * 2))  # chunk=2
+    np.testing.assert_allclose(chunked, full, rtol=1e-5)
