@@ -65,6 +65,7 @@ class ExperimentResult:
     divergences: int
     posterior_mean: np.ndarray
     posterior_std: np.ndarray
+    rhat_max: float = float("nan")
     samples: np.ndarray | None = None
 
     def summary(self) -> str:
@@ -75,7 +76,8 @@ class ExperimentResult:
             f"{self.ess_median:.0f}  mean {self.ess_mean:.0f}  max {self.ess_max:.0f}\n"
             f"  sampling time: {self.sampling_time_s:.3f} s   "
             f"time/minESS: {self.time_per_min_ess:.3e} s   "
-            f"accept: {self.accept_rate:.3f}   divergences: {self.divergences}\n"
+            f"accept: {self.accept_rate:.3f}   divergences: {self.divergences}   "
+            f"max R-hat: {self.rhat_max:.4f}\n"
             f"  posterior mean[:5]: {np.round(self.posterior_mean[:5], 3)}"
         )
 
@@ -184,6 +186,7 @@ def run_experiment(
         # (C, S, D) sample transfer costs minutes).  Alias-free ACF.
         dev_samples = jnp.concatenate([res_a.samples, res_b.samples], axis=1)
         ess = np.asarray(diagnostics.ess_geyer_device(dev_samples))
+        rhat_max = float(jnp.max(diagnostics.split_rhat_device(dev_samples)))
         flat_mean = np.asarray(jnp.mean(dev_samples, axis=(0, 1)))
         flat_std = np.asarray(jnp.std(dev_samples, axis=(0, 1)))
         num_kept = int(dev_samples.shape[1])
@@ -193,6 +196,7 @@ def run_experiment(
             [np.asarray(res_a.samples), np.asarray(res_b.samples)], axis=1
         )  # (C, S, D)
         ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
+        rhat_max = float(diagnostics.split_rhat(samples).max())
         flat = samples.reshape(-1, samples.shape[-1])
         flat_mean, flat_std = flat.mean(axis=0), flat.std(axis=0)
         num_kept = samples.shape[1]
@@ -212,6 +216,7 @@ def run_experiment(
         divergences=div,
         posterior_mean=flat_mean,
         posterior_std=flat_std,
+        rhat_max=rhat_max,
         samples=samples if keep_samples else None,
     )
 
@@ -418,6 +423,7 @@ class WorkloadResult:
     divergences: int
     sampling_time_s: float
     ess: dict[str, np.ndarray]  # group -> per-coordinate chain-summed ESS
+    rhat_max: dict[str, float] = dataclasses.field(default_factory=dict)
 
     def summary(self) -> str:
         lines = [
@@ -426,9 +432,11 @@ class WorkloadResult:
             f"divergences {self.divergences}   sampling {self.sampling_time_s:.3f} s"
         ]
         for group, ess in self.ess.items():
+            rhat = self.rhat_max.get(group, float("nan"))
             lines.append(
                 f"  {group}: ESS min {ess.min():.0f}  median {np.median(ess):.0f}  "
                 f"max {ess.max():.0f}   time/minESS {self.sampling_time_s / ess.min():.3e} s"
+                f"   max R-hat {rhat:.4f}"
             )
         return "\n".join(lines)
 
@@ -444,10 +452,13 @@ def run_workload(workload: str, sampler: str, *, num_chains: int = 64,
     samples, accept, div, t = timed_sampling(
         kernel, init_fn(num_chains), burn_in=burn_in, num_samples=num_samples,
         seed=seed, collect_fn=collect_fn)
-    ess = {g: np.asarray(diagnostics.ess_geyer_device(a))
-           for g, a in groups_fn(samples).items()}
+    groups = groups_fn(samples)
+    ess = {g: np.asarray(diagnostics.ess_geyer_device(a)) for g, a in groups.items()}
+    rhat = ({g: float(jnp.max(diagnostics.split_rhat_device(a))) for g, a in groups.items()}
+            if num_chains >= 2 else {})
     num_kept = int(jax.tree.leaves(samples)[0].shape[1])
-    return WorkloadResult(workload, sampler, num_chains, num_kept, accept, div, t, ess)
+    return WorkloadResult(workload, sampler, num_chains, num_kept, accept, div, t, ess,
+                          rhat)
 
 
 def main(argv=None) -> None:

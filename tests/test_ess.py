@@ -136,6 +136,8 @@ def test_geweke_z_stationary_vs_drifting():
 
 def test_device_ess_chunked_matches_unchunked():
     """Tiny max_bytes forces the parameter-chunked FFT path (OOM guard)."""
+    import jax.numpy as jnp
+
     from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_geyer_device
 
     rng = np.random.default_rng(5)

@@ -1,10 +1,16 @@
-"""Generate RESULTS.md: all BLR samplers on australian, TPU, vs paper Table 3.
+"""Generate the BLR sections of RESULTS.md: all samplers x all 5 datasets, TPU.
 
-Usage: PYTHONPATH=. python tools/make_results.py [--dataset australian]
+Usage: PYTHONPATH=. python tools/make_results.py [--dataset australian|...|all]
 
-Chain counts are sized per sampler cost; ESS uses the reference Geyer
-estimator, timing is steady-state sampling-phase only (experiments.py
-protocol).  Paper numbers: main_article.pdf Table 3 / BASELINE.md.
+Protocol: reference hyperparameters and iteration counts (utils/config.py
+presets -- 5000 kept samples for every sampler, reference burn-in), timing
+is the steady-state sampling phase only (experiments.py two-half protocol),
+Geyer ESS (device, alias-free ACF) summed over chains.  Paper columns:
+main_article.pdf Tables 3-7 single-chain MATLAB s/minESS (BASELINE.md).
+
+Each dataset's table replaces the block between
+``<!-- section:blr-NAME -->`` / ``<!-- end:blr-NAME -->`` markers in
+RESULTS.md, so sections regenerate independently.
 """
 
 from __future__ import annotations
@@ -13,87 +19,110 @@ import argparse
 import sys
 from pathlib import Path
 
+import numpy as np
+
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from riemannhamiltonianmontecarlo_tpu.experiments import run_experiment
 
-# (sampler, chains, samples, burn_in) -- sized so each row takes O(10-60s).
-CONFIGS = [
-    ("metropolis", 1024, 1000, 500),
-    ("hmc", 1024, 1000, 300),
-    ("mala", 2048, 2000, 1000),
-    ("mmala", 2048, 2000, 500),
-    ("mmala_simplified", 2048, 2000, 500),
-    ("iwls", 2048, 2000, 500),
-    ("gibbs", 256, 600, 200),
-    ("rmhmc", 2048, 1000, 300),
-    ("rmhmc_studentt", 2048, 1000, 300),
-]
+RESULTS = Path(__file__).resolve().parents[1] / "RESULTS.md"
 
-# Paper Table 3 (australian): s/minESS.
-PAPER_S_PER_MIN_ESS = {
-    "metropolis": 0.034,
-    "hmc": 0.027,
-    "mala": 0.12,
-    "mmala": 0.016,
-    "mmala_simplified": 0.006,
-    "iwls": 1.3,
-    "gibbs": 10.9,
-    "rmhmc": 0.016,
-    "rmhmc_studentt": 0.081,
+# Chain counts sized per sampler cost; samples/burn-in come from the
+# reference presets (5000 kept for every BLR sampler).
+CHAINS = {
+    "metropolis": 1024,
+    "hmc": 1024,
+    "mala": 2048,
+    "mmala": 2048,
+    "mmala_simplified": 2048,
+    "iwls": 2048,
+    "gibbs": 256,
+    "rmhmc": 2048,
+    "rmhmc_studentt": 2048,
 }
+
+# Paper s/minESS per dataset: Tables 3 (australian), 4 (german), 5 (pima),
+# 6 (heart), 7 (ripley) of main_article.pdf -- see BASELINE.md.
+PAPER = {
+    "australian": {"metropolis": 0.034, "gibbs": 10.9, "mala": 0.12, "hmc": 0.027,
+                   "iwls": 1.3, "mmala": 0.016, "mmala_simplified": 0.006,
+                   "rmhmc": 0.016, "rmhmc_studentt": 0.081},
+    "german": {"metropolis": 0.140, "gibbs": 0.61, "mala": 0.037, "hmc": 0.037,
+               "iwls": 1.86, "mmala": 0.070, "mmala_simplified": 0.012,
+               "rmhmc": 0.052, "rmhmc_studentt": 0.065},
+    "pima": {"metropolis": 0.011, "gibbs": 0.21, "mala": 0.005, "hmc": 0.014,
+             "iwls": 0.386, "mmala": 0.0037, "mmala_simplified": 0.0018,
+             "rmhmc": 0.0069, "rmhmc_studentt": 0.0098},
+    "heart": {"metropolis": 0.010, "gibbs": 0.21, "mala": 0.0038, "hmc": 0.0085,
+              "iwls": 0.85, "mmala": 0.0085, "mmala_simplified": 0.0043,
+              "rmhmc": 0.0087, "rmhmc_studentt": 0.018},
+    "ripley": {"metropolis": 0.035, "gibbs": 7.0, "mala": 0.029, "hmc": 0.0076,
+               "iwls": 0.39, "mmala": 0.0075, "mmala_simplified": 0.0045,
+               "rmhmc": 0.0065, "rmhmc_studentt": 0.011},
+}
+
+TABLE_NO = {"australian": 3, "german": 4, "pima": 5, "heart": 6, "ripley": 7}
+
+HEADER = ("| sampler | chains | samples | accept | total ESS (min, med, max) "
+          "| time (s) | s/minESS | paper s/minESS | speedup |\n"
+          "|---|---|---|---|---|---|---|---|---|")
+
+
+def fmt(x: float) -> str:
+    return f"{x:.3g}" if abs(x) < 1000 else f"{x:,.0f}"
+
+
+def splice(text: str, name: str, section: str) -> str:
+    start, end = f"<!-- section:{name} -->", f"<!-- end:{name} -->"
+    block = f"{start}\n{section}\n{end}"
+    if start in text:
+        pre = text[: text.index(start)]
+        post = text[text.index(end) + len(end):]
+        return pre + block + post
+    return text.rstrip() + "\n\n" + block + "\n"
+
+
+def run_dataset(dataset: str) -> str:
+    rows = []
+    for sampler, chains in CHAINS.items():
+        paper = PAPER[dataset][sampler]
+        print(f"--- {dataset}/{sampler} ({chains} chains x 5000)", flush=True)
+        try:
+            res = run_experiment(sampler, dataset, num_chains=chains,
+                                 ess_mode="device")
+        except Exception as e:  # keep the table going
+            print(f"    FAILED: {e}", flush=True)
+            rows.append(f"| {sampler} | -- | -- | FAILED | | | | {paper} | |")
+            continue
+        print("   ", res.summary().splitlines()[2].strip(), flush=True)
+        spm = res.time_per_min_ess
+        rows.append(
+            f"| {sampler} | {res.num_chains} | {res.num_samples} | "
+            f"{res.accept_rate:.3f} | ({fmt(res.ess_min)}, {fmt(res.ess_median)}, "
+            f"{fmt(res.ess_max)}) | {res.sampling_time_s:.3f} | {spm:.2e} | "
+            f"{paper} | {paper / spm:,.0f}x |"
+        )
+    return (
+        f"## BLR {dataset} (paper Table {TABLE_NO[dataset]}), single TPU v5e chip\n\n"
+        "All samplers at reference hyperparameters and iteration counts\n"
+        "(utils/config.py presets, 5000 kept samples), MAP+jitter init, Geyer ESS\n"
+        "(device, alias-free ACF) summed over chains, timing = steady-state sampling\n"
+        "phase only.  speedup = paper s/minESS / ours.\n\n"
+        + HEADER + "\n" + "\n".join(rows)
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--dataset", default="australian")
-    ap.add_argument("--out", default="RESULTS.md")
+    ap.add_argument("--dataset", default="all",
+                    choices=[*PAPER, "all"])
     args = ap.parse_args()
-
-    rows = []
-    for sampler, chains, samples, burn in CONFIGS:
-        print(f"--- {sampler} ({chains} chains x {samples})", flush=True)
-        try:
-            res = run_experiment(
-                sampler,
-                args.dataset,
-                num_chains=chains,
-                num_samples=samples,
-                burn_in=burn,
-                ess_mode="device",
-            )
-        except Exception as e:  # keep the table going
-            print(f"    FAILED: {e}", flush=True)
-            rows.append((sampler, None))
-            continue
-        print("   ", res.summary().splitlines()[2].strip(), flush=True)
-        rows.append((sampler, res))
-
-    lines = [
-        f"# RESULTS -- {args.dataset}, single TPU v5e chip",
-        "",
-        "All samplers at reference hyperparameters (utils/config.py presets),",
-        "MAP+jitter init, Geyer ESS (device, alias-free ACF) summed over chains, timing =",
-        "steady-state sampling phase only.  Paper column: Table 3 single-chain",
-        "MATLAB s/minESS (BASELINE.md).  speedup = paper / ours.",
-        "",
-        "| sampler | chains | samples | accept | total minESS | time (s) | s/minESS | paper s/minESS | speedup |",
-        "|---|---|---|---|---|---|---|---|---|",
-    ]
-    for sampler, res in rows:
-        paper = PAPER_S_PER_MIN_ESS.get(sampler)
-        if res is None:
-            lines.append(f"| {sampler} | -- | -- | FAILED | | | | {paper} | |")
-            continue
-        speedup = paper / res.time_per_min_ess if paper else float("nan")
-        lines.append(
-            f"| {sampler} | {res.num_chains} | {res.num_samples} | "
-            f"{res.accept_rate:.3f} | {res.ess_min:.0f} | "
-            f"{res.sampling_time_s:.3f} | {res.time_per_min_ess:.2e} | "
-            f"{paper} | {speedup:,.0f}x |"
-        )
-    Path(args.out).write_text("\n".join(lines) + "\n")
-    print(f"wrote {args.out}")
+    names = list(PAPER) if args.dataset == "all" else [args.dataset]
+    for name in names:
+        section = run_dataset(name)
+        text = RESULTS.read_text() if RESULTS.exists() else "# RESULTS\n"
+        RESULTS.write_text(splice(text, f"blr-{name}", section))
+        print(f"=== wrote section blr-{name} to {RESULTS}", flush=True)
 
 
 if __name__ == "__main__":
