@@ -19,7 +19,7 @@ from riemannhamiltonianmontecarlo_tpu.parallel.collectives import (
     cross_chain_sum,
 )
 from riemannhamiltonianmontecarlo_tpu.parallel.monitor import monitor, profile_trace
-from riemannhamiltonianmontecarlo_tpu.parallel.runner import RunResult, run
+from riemannhamiltonianmontecarlo_tpu.parallel.runner import RunResult, run, run_checkpointed
 
 __all__ = [
     "AdaptationConfig",
@@ -37,5 +37,6 @@ __all__ = [
     "shard_chains",
     "initialize_distributed",
     "run",
+    "run_checkpointed",
     "RunResult",
 ]

@@ -124,3 +124,109 @@ def run(
         divergences=div,
         warmup_accept_rate=warm_accept,
     )
+
+
+def run_checkpointed(
+    kernel: Kernel,
+    key: Array,
+    init_position: Array,
+    *,
+    num_samples: int,
+    checkpoint_path,
+    burn_in: int = 0,
+    checkpoint_every: int = 500,
+    mesh: Mesh | None = None,
+    collect_fn=None,
+    warmup_kernel: Kernel | None = None,
+    _stop_after_segments: int | None = None,
+) -> RunResult:
+    """``run`` in ``checkpoint_every``-step segments with resume.
+
+    After each segment the kernel state is checkpointed atomically
+    (``utils.checkpoint.save_state``; per-process shards in multi-process
+    runs) and the segment's samples are persisted to
+    ``<checkpoint_path>.seg<i>``, so a killed run restarts from the last
+    completed segment instead of step 0 -- the subsystem the reference
+    lacks entirely (its ``.mat`` dumps are end-of-run only,
+    ``BLR_RMHMC.m:406``).  Per-segment PRNG keys are ``fold_in(key, i)``,
+    so interrupted-and-resumed runs are bit-identical to uninterrupted
+    ones.  ``_stop_after_segments`` simulates a crash (tests only).
+    """
+    from pathlib import Path
+
+    from riemannhamiltonianmontecarlo_tpu.utils import checkpoint as ckpt
+
+    path = Path(checkpoint_path)
+    n_seg = -(-num_samples // checkpoint_every)
+    sizes = [checkpoint_every] * (n_seg - 1)
+    sizes.append(num_samples - checkpoint_every * (n_seg - 1))
+
+    if ckpt.checkpoint_exists(path):
+        pos = init_position if mesh is None else shard_chains(mesh, init_position)
+        template = (warmup_kernel or kernel).init(pos)
+        state, start_seg, _ = ckpt.load_state(path, template)
+        warm_accept = jnp.zeros(())
+    else:
+        warm = run(
+            kernel,
+            jax.random.fold_in(key, 0),
+            init_position,
+            num_samples=max(burn_in, 1),
+            collect=False,
+            mesh=mesh,
+            warmup_kernel=warmup_kernel,
+        )
+        state, start_seg, warm_accept = warm.final_state, 0, warm.warmup_accept_rate
+        ckpt.save_state(path, state, step=0)
+
+    accepts, divs = [], []
+    for i in range(start_seg, n_seg):
+        if _stop_after_segments is not None and i - start_seg >= _stop_after_segments:
+            break
+        res = run(
+            kernel,
+            jax.random.fold_in(key, i + 1),
+            None,
+            num_samples=sizes[i],
+            init_state=state,
+            mesh=mesh,
+            collect_fn=collect_fn,
+        )
+        state = res.final_state
+        accepts.append(float(res.accept_rate) * sizes[i])
+        divs.append(int(res.divergences))
+        ckpt.save_state(path.with_name(path.name + f".seg{i}"), res.samples, step=i)
+        ckpt.save_state(path, state, step=i + 1)
+
+    # Reassemble all persisted segments (including pre-crash ones) in order,
+    # stopping at the first gap.
+    import numpy as np
+
+    flat_parts = []
+    for i in range(n_seg):
+        f = path.with_name(path.name + f".seg{i}")
+        if not ckpt.checkpoint_exists(f):
+            break
+        with np.load(ckpt._shard_path(f)) as d:
+            n_leaves = sum(1 for k in d.files if k.startswith("leaf_"))
+            flat_parts.append([d[f"leaf_{j}"] for j in range(n_leaves)])
+    if flat_parts:
+        merged = [
+            jnp.concatenate([jnp.asarray(p[j]) for p in flat_parts], axis=1)
+            for j in range(len(flat_parts[0]))
+        ]
+        # Rebuild the collect_fn pytree structure from a one-step probe.
+        probe = (collect_fn or _position_of)(state)
+        treedef = jax.tree.structure(probe)
+        samples = jax.tree.unflatten(treedef, merged)
+    else:
+        samples = None
+
+    total = sum(sizes[start_seg : start_seg + len(accepts)]) or 1
+    return RunResult(
+        samples=samples,
+        final_state=state,
+        accept_rate=jnp.asarray(sum(accepts) / total),
+        divergences=jnp.asarray(sum(divs)),
+        warmup_accept_rate=warm_accept,
+    )
