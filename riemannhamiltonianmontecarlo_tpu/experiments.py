@@ -66,6 +66,7 @@ class ExperimentResult:
     posterior_mean: np.ndarray
     posterior_std: np.ndarray
     rhat_max: float = float("nan")
+    adapted_step_size: float | None = None  # set by --adapt runs
     samples: np.ndarray | None = None
 
     def summary(self) -> str:
@@ -116,6 +117,36 @@ def build_kernel(name: str, model, dataset: str, overrides: dict[str, Any] | Non
     raise KeyError(f"unknown sampler '{name}'; options: {SAMPLERS}")
 
 
+# Samplers whose step size dual-averaging can adapt: (build_fn, config_cls,
+# extra kwargs, optimal-scaling acceptance target).  Targets: 0.651 for
+# HMC-family (Beskos et al. 2013), 0.574 for Langevin (Roberts &
+# Rosenthal 1998).
+def adaptive_parts(name: str, dataset: str, overrides: dict[str, Any] | None = None):
+    """(build_fn, config, target_accept) for --adapt runs.
+
+    Step size starts from a dimension-scaled guess, NOT the hand-tuned
+    reference constant -- the point is zero per-dataset tuning.
+    """
+    kw = dict(reference_preset(name, dataset).sampler_kwargs)
+    if overrides:
+        kw.update(overrides)
+    kw.pop("step_size", None)  # discard the hand-tuned constant
+    s = samplers
+    if name == "hmc":
+        return s.hmc.build, s.hmc.HMCConfig(step_size=0.1, **kw), 0.651
+    if name == "mala":
+        return s.mala.build, s.mala.MALAConfig(step_size=0.1), 0.574
+    if name == "mmala":
+        return s.mmala.build, s.mmala.MMALAConfig(step_size=0.5, **kw), 0.574
+    if name == "mmala_simplified":
+        return s.mmala.build, s.mmala.MMALAConfig(step_size=0.5, simplified=True, **kw), 0.574
+    if name == "rmhmc":
+        return s.rmhmc.build, s.rmhmc.RMHMCConfig(step_size=0.1, **kw), 0.8
+    if name == "rmhmc_studentt":
+        return s.rmhmc.build, s.rmhmc.RMHMCConfig(step_size=0.1, student_t=True, **kw), 0.8
+    raise KeyError(f"sampler '{name}' has no adaptable step size")
+
+
 def run_experiment(
     sampler: str,
     dataset: str = "australian",
@@ -129,6 +160,7 @@ def run_experiment(
     ess_mode: str = "reference",
     keep_samples: bool = False,
     sampler_overrides: dict[str, Any] | None = None,
+    adapt: bool = False,
 ) -> ExperimentResult:
     preset = reference_preset(sampler, dataset)
     num_samples = preset.num_samples if num_samples is None else num_samples
@@ -138,7 +170,6 @@ def run_experiment(
     model = models.LogisticRegression(
         jnp.asarray(ds.X, jnp.float32), jnp.asarray(ds.t, jnp.float32)
     )
-    kernel, warmup_kernel = build_kernel(sampler, model, dataset, sampler_overrides)
 
     key = jax.random.key(seed)
     k_init, k_warm, k_a, k_b = jax.random.split(key, 4)
@@ -152,21 +183,38 @@ def run_experiment(
     else:
         raise ValueError(f"init must be map|zeros|reference, got {init!r}")
 
-    warm = parallel.run(
-        kernel,
-        k_warm,
-        position,
-        num_samples=burn_in,
-        burn_in=0,
-        collect=False,
-        mesh=mesh,
-        warmup_kernel=warmup_kernel,
-    )
-    jax.block_until_ready(warm.final_state.position)
+    adapted_eps = None
+    if adapt:
+        # Dual-averaging warmup on pooled acceptance: no hand-tuned step.
+        build_fn, cfg, target = adaptive_parts(sampler, dataset, sampler_overrides)
+        warm_kernel = parallel.adaptive(
+            build_fn, model, cfg, parallel.AdaptationConfig(target_accept=target)
+        )
+        warm = parallel.run(
+            warm_kernel, k_warm, position, num_samples=burn_in, burn_in=0,
+            collect=False, mesh=mesh,
+        )
+        adapted_eps = parallel.frozen_step_size(warm.final_state)
+        kernel = build_fn(model, dataclasses.replace(cfg, step_size=adapted_eps))
+        warm_state = warm.final_state.inner
+    else:
+        kernel, warmup_kernel = build_kernel(sampler, model, dataset, sampler_overrides)
+        warm = parallel.run(
+            kernel,
+            k_warm,
+            position,
+            num_samples=burn_in,
+            burn_in=0,
+            collect=False,
+            mesh=mesh,
+            warmup_kernel=warmup_kernel,
+        )
+        warm_state = warm.final_state
+    jax.block_until_ready(warm_state.position)
 
     half = max(num_samples // 2, 1)
     res_a = parallel.run(
-        kernel, k_a, None, num_samples=half, burn_in=0, init_state=warm.final_state, mesh=mesh
+        kernel, k_a, None, num_samples=half, burn_in=0, init_state=warm_state, mesh=mesh
     )
     jax.block_until_ready(res_a.samples)
     t0 = time.perf_counter()
@@ -217,6 +265,7 @@ def run_experiment(
         posterior_mean=flat_mean,
         posterior_std=flat_std,
         rhat_max=rhat_max,
+        adapted_step_size=adapted_eps,
         samples=samples if keep_samples else None,
     )
 
@@ -472,6 +521,9 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init", choices=("map", "zeros", "reference"), default="map")
     ap.add_argument("--ess-mode", choices=("reference", "exact", "device"), default="reference")
+    ap.add_argument("--adapt", action="store_true",
+                    help="dual-averaging step-size warmup instead of the "
+                         "hand-tuned reference constant (BLR only)")
     args = ap.parse_args(argv)
     if args.sampler not in WORKLOAD_SAMPLERS[args.workload]:
         ap.error(f"sampler '{args.sampler}' not available for workload "
@@ -486,7 +538,10 @@ def main(argv=None) -> None:
             seed=args.seed,
             init=args.init,
             ess_mode=args.ess_mode,
+            adapt=args.adapt,
         )
+        if args.adapt:
+            print(f"adapted step size: {res.adapted_step_size:.4g}")
     else:
         res = run_workload(
             args.workload,

@@ -48,8 +48,15 @@ def shard_chains(mesh: Mesh, tree, axis_name: str = CHAIN_AXIS):
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host bring-up (no-op if already initialized or single-process)."""
+    """Multi-host bring-up: ``jax.distributed.initialize`` with idempotence.
+
+    Exercised end-to-end by ``tests/test_distributed.py`` (2 coordinated
+    CPU processes, Gloo collectives).  Re-initialization is a no-op;
+    genuine bring-up failures (bad coordinator address, rank mismatch)
+    propagate.
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already" not in str(e).lower():  # idempotent re-init only
+            raise

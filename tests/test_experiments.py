@@ -42,6 +42,18 @@ def test_run_experiment_mala_warmup_phase():
     assert 0.0 <= res.accept_rate <= 1.0
 
 
+def test_run_experiment_adaptive_step_size():
+    """--adapt: dual-averaging warmup replaces the hand-tuned constant and
+    lands acceptance near the optimal-scaling target."""
+    res = run_experiment(
+        "mala", "australian", num_chains=64, num_samples=200, burn_in=300,
+        adapt=True,
+    )
+    assert res.adapted_step_size is not None and res.adapted_step_size > 0
+    assert abs(res.accept_rate - 0.574) < 0.12, (res.accept_rate, res.adapted_step_size)
+    assert np.isfinite(res.posterior_mean).all()
+
+
 def test_all_samplers_buildable():
     import jax.numpy as jnp
 

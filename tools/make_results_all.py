@@ -44,11 +44,19 @@ RESULTS = Path(__file__).resolve().parents[1] / "RESULTS.md"
 
 
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
-                 collect_fn=None):
-    """Warmup (untimed) then two sampling halves; returns (samples, accept, t)."""
+                 collect_fn=None, init_state=None):
+    """Warmup (untimed) then two sampling halves; returns (samples, accept, t).
+
+    ``init_state`` skips the warmup (e.g. after an adaptive warmup whose
+    state wrapper differs from the sampling kernel's).
+    """
     key = jax.random.key(seed)
     k_w, k_a, k_b = jax.random.split(key, 3)
-    warm = parallel.run(kernel, k_w, init, num_samples=burn_in, collect=False)
+    if init_state is not None:
+        warm = parallel.run(kernel, k_w, None, num_samples=1, collect=False,
+                            init_state=init_state)
+    else:
+        warm = parallel.run(kernel, k_w, init, num_samples=burn_in, collect=False)
     jax.block_until_ready(jax.tree.leaves(warm.final_state)[0])
 
     half = max(num_samples // 2, 1)
@@ -156,21 +164,45 @@ def run_lgc() -> str:
 
     rows = []
 
-    # Whitened MALA, transient + stationary tuning (LGC_MALA_*.m:32-33).
+    # Whitened MALA, transient tuning (LGC_MALA_Transient.m:32-33).
     wh = model.whitened()
     lift = jax.jit(jax.vmap(wh.to_x))
-    for name, cfg, chains, samples, burn, paper in [
-        ("mala (transient)", mala.MALAConfig(step_size=2.0, transient=True),
-         16, 1000, 1000, 10605),
-        ("mala (stationary)", mala.MALAConfig(step_size=1.65 ** 2), 16, 1000, 1000, 7836),
-    ]:
-        print(f"--- lgc/{name}", flush=True)
-        kernel = mala.build(wh, cfg)
-        gamma, accept, t = timed_halves(
-            kernel, jnp.zeros((chains, model.dim)), burn_in=burn, num_samples=samples)
-        x = lift(gamma)  # ESS measured on the field x = mu + L gamma, like the paper
-        rows.append(row(name, chains, samples, accept, ess_stats(x), t, paper))
-        print("   ", rows[-1], flush=True)
+    print("--- lgc/mala (transient)", flush=True)
+    kernel = mala.build(wh, mala.MALAConfig(step_size=2.0, transient=True))
+    gamma, accept, t = timed_halves(
+        kernel, jnp.zeros((16, model.dim)), burn_in=1000, num_samples=1000)
+    x = lift(gamma)  # ESS measured on the field x = mu + L gamma, like the paper
+    rows.append(row("mala (transient)", 16, 1000, accept, ess_stats(x), t, 10605))
+    print("   ", rows[-1], flush=True)
+
+    # Stationary phase: the paper's eps=1.65^2 is tuned for the authors'
+    # *position-dependent* whitening (LGC_MALA_Stationary.m:103-105
+    # re-Choleskys (Sigma^-1 + diag(x))^-1 every iteration -- the O(D^3)
+    # per-step cost behind their 31118 s).  Our whitening is the fixed
+    # prior Cholesky, so that constant does not transfer; the step is
+    # dual-averaged to the 0.574 Langevin optimum during warmup (zero
+    # hand tuning) and frozen for the timed phase.
+    print("--- lgc/mala (stationary, adapted)", flush=True)
+    import dataclasses as _dc
+
+    from riemannhamiltonianmontecarlo_tpu.parallel import (
+        AdaptationConfig, adaptive, frozen_step_size,
+    )
+
+    cfg0 = mala.MALAConfig(step_size=0.5)
+    warm_kernel = adaptive(mala.build, wh, cfg0,
+                           AdaptationConfig(target_accept=0.574))
+    warm = parallel.run(warm_kernel, jax.random.key(3),
+                        jnp.zeros((16, model.dim)), num_samples=1000, collect=False)
+    eps = frozen_step_size(warm.final_state)
+    print(f"    adapted eps = {eps:.4g}", flush=True)
+    kernel = mala.build(wh, _dc.replace(cfg0, step_size=eps))
+    gamma, accept, t = timed_halves(kernel, None, burn_in=0, num_samples=1000,
+                                    init_state=warm.final_state.inner)
+    x = lift(gamma)
+    rows.append(row("mala (stationary, adapted eps)", 16, 1000, accept,
+                    ess_stats(x), t, 7836))
+    print("   ", rows[-1], flush=True)
 
     # mMALA with the position-dependent metric (LGC_mMALA_LV.m:31-34).
     print("--- lgc/mmala", flush=True)
