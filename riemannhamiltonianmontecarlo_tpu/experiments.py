@@ -243,7 +243,13 @@ def run_experiment(
         samples = np.concatenate(
             [np.asarray(res_a.samples), np.asarray(res_b.samples)], axis=1
         )  # (C, S, D)
-        ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
+        if ess_mode == "native":
+            # Threaded C++ engine (native/fastess.cpp): host-side Geyer ESS
+            # over all C x D series at once -- the post-processing path for
+            # C*P >> 1e4 where single-threaded NumPy FFTs dominate.
+            ess = diagnostics.ess_geyer_native(samples)
+        else:
+            ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
         rhat_max = float(diagnostics.split_rhat(samples).max())
         flat = samples.reshape(-1, samples.shape[-1])
         flat_mean, flat_std = flat.mean(axis=0), flat.std(axis=0)
@@ -313,7 +319,8 @@ def run_repeated(
 WORKLOAD_SAMPLERS = {
     "blr": SAMPLERS,
     "stochvol": ("rmhmc", "hmc", "mala", "mmala"),
-    "lgc": ("rmhmc", "mmala", "mala_transient", "mala_stationary"),
+    "lgc": ("rmhmc", "mmala", "mala_transient", "mala_stationary",
+            "rmhmc_joint", "mmala_joint"),
     "fhn": ("rmhmc", "hmc", "mala", "mmala", "mmala_simplified", "metropolis"),
 }
 
@@ -351,11 +358,13 @@ def timed_sampling(kernel, init, *, burn_in: int, num_samples: int, seed: int = 
 def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | None = None,
                    seed: int = 0, stochvol_obs: int = 2000, lgc_n: int = 64,
                    fhn_obs: int = 200, fhn_substeps: int = 5):
-    """(kernel, init_position_fn, collect_fn, groups_fn) at reference constants.
+    """(kernel, init_position_fn, collect_fn, groups_fn, warmup_kernel).
 
-    ``groups_fn(samples) -> {group_name: (C, S, P) array}`` maps the raw
-    collected pytree to the named quantities whose ESS the paper reports
-    (e.g. StochVol hyperparameters vs latent volatilities, Tables 8/9).
+    All at reference constants.  ``groups_fn(samples) -> {group_name:
+    (C, S, P) array}`` maps the raw collected pytree to the named
+    quantities whose ESS the paper reports (e.g. StochVol hyperparameters
+    vs latent volatilities, Tables 8/9).  ``warmup_kernel`` (or None) runs
+    during burn-in only -- e.g. StochVol MALA's transient-phase step sizes.
     """
     kw = dict(overrides or {})
     s = samplers
@@ -367,6 +376,7 @@ def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | N
         y, _ = sv_model.generate_data(seed=seed, num_obs=stochvol_obs)
         model = sv_model.StochVolModel(jnp.asarray(y, jnp.float32))
         t13 = stochvol_obs ** (1.0 / 3.0)
+        t12 = stochvol_obs ** 0.5
         presets = {
             # StochVol_RMHMC.m:66-77
             "rmhmc": dict(),
@@ -382,19 +392,44 @@ def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | N
         cfg = sv.StochVolConfig(**{**presets[sampler], **kw})
         kernel = sv.build(model, cfg)
 
+        warmup_kernel = None
+        if sampler == "mala":
+            # Transient phase (StochVol_MALA.m:62-67): eps = 0.05/T^(1/2)
+            # latents, 0.01/T^(1/2) hypers, switched to the stationary
+            # constants at the burn-in boundary (:279-283).
+            warm_cfg = sv.StochVolConfig(**{**dict(
+                method="mala", latent_step_size=0.05 / t12,
+                hyper_step_size=0.01 / t12), **kw})
+            warmup_kernel = sv.build(model, warm_cfg)
+
         def init_fn(chains: int):
             # (beta, sigma, phi) = 0.5, StochVol_RMHMC.m:86-89
             return jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
 
         collect_fn = lambda st: (st.position, st.x)  # noqa: E731
         groups_fn = lambda smp: {"hyper": smp[0], "latent": smp[1]}  # noqa: E731
-        return kernel, init_fn, collect_fn, groups_fn
+        return kernel, init_fn, collect_fn, groups_fn, warmup_kernel
 
     if workload == "lgc":
         from riemannhamiltonianmontecarlo_tpu.models import lgc as lgc_model
         from riemannhamiltonianmontecarlo_tpu.samplers import phmc
 
         y, _ = lgc_model.generate_data(seed=seed, n=lgc_n)
+
+        if sampler in ("rmhmc_joint", "mmala_joint"):
+            # Joint (sigma^2, beta, x) inference: LGC_RMHMC_Paras_LV.m /
+            # LGC_mMALA_Paras_LV.m (HP eps 0.2; latent eps 0.1 / 0.07).
+            from riemannhamiltonianmontecarlo_tpu.samplers import lgc_joint
+
+            jm = lgc_model.LGCJointModel(jnp.asarray(y, jnp.float32), n=lgc_n)
+            cfg_kw = (dict(method="mmala", latent_step_size=0.07)
+                      if sampler == "mmala_joint" else {})
+            kernel = lgc_joint.build(jm, lgc_joint.LGCJointConfig(**{**cfg_kw, **kw}))
+            theta0 = jnp.asarray([jm.init_sigma_sq, jm.init_beta], jnp.float32)
+            return (kernel, lambda c: jnp.tile(theta0, (c, 1)),
+                    lambda st: (st.position, st.x),
+                    lambda smp: {"hyper": smp[0], "latent": smp[1]}, None)
+
         model = lgc_model.LGCModel(jnp.asarray(y, jnp.float32), n=lgc_n)
 
         if sampler in ("mala_transient", "mala_stationary"):
@@ -407,7 +442,7 @@ def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | N
             kernel = s.mala.build(wh, cfg)
             lift = jax.jit(jax.vmap(wh.to_x))
             return (kernel, lambda c: jnp.zeros((c, model.dim)), None,
-                    lambda smp: {"latent": lift(smp)})
+                    lambda smp: {"latent": lift(smp)}, None)
 
         if sampler == "mmala":
             # LGC_mMALA_LV.m:31-34
@@ -423,7 +458,7 @@ def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | N
             raise KeyError(f"unknown lgc sampler '{sampler}'")
         prior = model.prior_mean()
         return (kernel, lambda c: jnp.tile(prior, (c, 1)), None,
-                lambda smp: {"latent": smp})
+                lambda smp: {"latent": smp}, None)
 
     if workload == "fhn":
         from riemannhamiltonianmontecarlo_tpu.models import fhn as fhn_model
@@ -457,7 +492,7 @@ def build_workload(workload: str, sampler: str, *, overrides: dict[str, Any] | N
             jitter = 1.0 + 0.05 * jax.random.normal(jax.random.key(seed + 11), (chains, 3))
             return jnp.tile(theta0, (chains, 1)) * jitter
 
-        return kernel, init_fn, None, lambda smp: {"params": smp}
+        return kernel, init_fn, None, lambda smp: {"params": smp}, None
 
     raise KeyError(f"unknown workload '{workload}'; options: {tuple(WORKLOAD_SAMPLERS)}")
 
@@ -496,11 +531,11 @@ def run_workload(workload: str, sampler: str, *, num_chains: int = 64,
     """Reference-preset experiment on any of the four workloads."""
     if workload == "blr":
         raise ValueError("use run_experiment(...) for the BLR workload")
-    kernel, init_fn, collect_fn, groups_fn = build_workload(
+    kernel, init_fn, collect_fn, groups_fn, warmup_kernel = build_workload(
         workload, sampler, overrides=overrides, seed=seed, **data_kw)
     samples, accept, div, t = timed_sampling(
         kernel, init_fn(num_chains), burn_in=burn_in, num_samples=num_samples,
-        seed=seed, collect_fn=collect_fn)
+        seed=seed, collect_fn=collect_fn, warmup_kernel=warmup_kernel)
     groups = groups_fn(samples)
     ess = {g: np.asarray(diagnostics.ess_geyer_device(a)) for g, a in groups.items()}
     rhat = ({g: float(jnp.max(diagnostics.split_rhat_device(a))) for g, a in groups.items()}

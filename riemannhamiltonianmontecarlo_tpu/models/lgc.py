@@ -110,6 +110,28 @@ class LGCModel:
     def dim(self) -> int:
         return self.n * self.n
 
+    def with_sharding(self, mesh, axis: str = "latent"):
+        """Copy of the model with the dense (D, D) operators sharded over
+        ``axis`` of ``mesh`` -- the framework's long-context axis
+        (SURVEY.md section 5).
+
+        The operators are sharded along their *row* (contraction)
+        dimension, so the per-leapfrog matvecs ``p G^{-1}`` /
+        ``x Sigma^{-1}`` lower under GSPMD to local partial products +
+        ``psum`` over the latent axis: each device stores D/k rows
+        (f32 D=4096: 64 MB per operator total instead of per device) and
+        communicates only (C, D) activations.
+        """
+        import copy
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row = NamedSharding(mesh, PartitionSpec(axis, None))
+        m = copy.copy(self)
+        for name in ("sigma_inv", "metric_chol", "metric_inv"):
+            object.__setattr__(m, name, jax.device_put(getattr(self, name), row))
+        return m
+
     def logp(self, x: Array) -> Array:
         """y^T x - sum m e^x - (x-mu)^T Sigma^{-1} (x-mu)/2 (``:86``)."""
         centered = x - self.mu

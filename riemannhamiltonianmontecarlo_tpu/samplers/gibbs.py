@@ -20,6 +20,16 @@ Initialization: the reference draws initial z from the truncated normal
 (``gibbs_sampler.py:86-93``); ``init`` here sets z to the truncated
 normal's mean (+-sqrt(2/pi)) since ``Kernel.init`` is deterministic --
 irrelevant after burn-in.
+
+Performance note (measured, TPU v5e, C=256, australian N=690): the sweep
+costs ~35 ms/step and is *serial-latency-bound*, not bandwidth- or
+FLOP-bound -- the 690 truncated-normal draws form a true dependency chain
+(z_j's mean depends on B, updated by every previous j), each ~50 us of
+dependent small-vector VPU ops.  Evidence: scan ``unroll`` 1/8/16 and
+eliminating all (C, N)-buffer carries (z streamed as scan input/output)
+leave the time unchanged.  Throughput therefore comes from the chain
+axis, which is free (vectorized) up to memory limits -- the design
+SURVEY.md section 7 hard part (f) prescribes.
 """
 
 from __future__ import annotations
@@ -37,6 +47,10 @@ from riemannhamiltonianmontecarlo_tpu.samplers.base import Info, Kernel
 
 Array = jax.Array
 _PREC = jax.lax.Precision.HIGHEST
+# Unroll factor of the sequential z/B sweep: the per-datapoint loop body is
+# a handful of small (C,)-sized ops, so TPU wall time is loop/dispatch
+# overhead, not FLOPs; unrolling amortizes it across iterations.
+_UNROLL = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,21 +93,24 @@ def build(model, config: GibbsConfig = GibbsConfig()) -> Kernel:
         b = jnp.einsum("cdn,cn->cd", s, inv_lam * state.z, precision=_PREC)
         h = jnp.einsum("nd,cdn->cn", x, s, precision=_PREC)  # h_j = x_j^T V x_j
 
-        # Sequential z / B sweep (code/gibbs_sampler.py:109-126).
+        # Sequential z / B sweep (code/gibbs_sampler.py:109-126).  Each j is
+        # visited exactly once per iteration, so z_old_j is always the
+        # *previous* iteration's value: stream it in as a scan input and
+        # collect z_new as the stacked scan output -- the carry holds only
+        # the (C, D) running B, so the loop body is a few (C,)-sized ops
+        # with no (C, N)-buffer copies (the round-1 35 ms/step bottleneck).
         xs = (
-            jnp.arange(n),
             x,  # (N, D) rows
             h.T,  # (N, C)
             state.lam.T,  # (N, C)
             positive,
             jnp.moveaxis(s, 2, 0),  # (N, C, D)
             jax.random.split(k_sweep, n),
+            state.z.T,  # (N, C) previous-iteration latents
         )
 
-        def sweep(carry, inp):
-            b_cur, z_cur = carry
-            j, x_j, h_j, lam_j, pos_j, s_j, k_j = inp
-            z_old = jax.lax.dynamic_slice_in_dim(z_cur, j, 1, axis=1)[:, 0]
+        def sweep(b_cur, inp):
+            x_j, h_j, lam_j, pos_j, s_j, k_j, z_old = inp
             # lambda_j > h_j holds exactly (V^{-1} >= x_j x_j^T / lambda_j);
             # clamp the gap against f32 rounding.
             w_j = h_j / jnp.maximum(lam_j - h_j, 1e-12)
@@ -102,12 +119,10 @@ def build(model, config: GibbsConfig = GibbsConfig()) -> Kernel:
             q = lam_j * (w_j + 1.0)
             z_new = truncated_normal_onesided(k_j, m, jnp.sqrt(q), pos_j)
             b_cur = b_cur + ((z_new - z_old) / lam_j)[:, None] * s_j
-            z_cur = jax.lax.dynamic_update_slice_in_dim(
-                z_cur, z_new[:, None], j, axis=1
-            )
-            return (b_cur, z_cur), None
+            return b_cur, z_new
 
-        (b, z), _ = jax.lax.scan(sweep, (b, state.z), xs)
+        b, z_t = jax.lax.scan(sweep, b, xs, unroll=_UNROLL)
+        z = z_t.T  # (C, N)
 
         # beta = B + L T (code/gibbs_sampler.py:128-129).
         beta = b + ops.mvn_sample(k_beta, chol_v)

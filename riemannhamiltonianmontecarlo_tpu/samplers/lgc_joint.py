@@ -36,13 +36,19 @@ _PREC = jax.lax.Precision.HIGHEST
 @dataclasses.dataclass(frozen=True)
 class LGCJointConfig:
     hyper_num_leapfrog: int = 1  # LGC_RMHMC_Paras_LV.m:41
-    hyper_step_size: float = 0.2  # :42
+    hyper_step_size: float = 0.2  # :42 (same value as LGC_mMALA_Paras_LV.m:42)
     hyper_num_fixed_point: int = 3  # :43 (position)
     hyper_num_fixed_point_momentum: int = 10  # :44
     latent_num_leapfrog: int = 20  # :46
-    latent_step_size: float = 0.1  # :47
+    latent_step_size: float = 0.1  # :47 (mMALA: 0.07, LGC_mMALA_Paras_LV.m:43)
     randomize_length: bool = True
     random_direction: bool = True
+    # "rmhmc" (LGC_RMHMC_Paras_LV.m) or "mmala" (LGC_mMALA_Paras_LV.m):
+    # mMALA runs full-curvature manifold MALA on theta~ (:205-294) and
+    # metric-preconditioned MALA on the latents with the constant-given-
+    # theta metric G = Sigma^{-1} + diag(m exp(mu + diag Sigma)) (:353-375,
+    # curvature terms vanish since G is x-independent).
+    method: str = "rmhmc"
 
 
 class LGCJointState(NamedTuple):
@@ -121,18 +127,71 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
         return jnp.where(accept[:, None], x_prop, x), accept_prob, divergent
 
+    def latent_mmala_update(key: Array, x: Array, theta: Array):
+        """Preconditioned MALA on x | theta (LGC_mMALA_Paras_LV.m:353-375).
+
+        The latent metric is constant in x given theta, so the mMALA
+        curvature terms vanish and the log-det parts of both proposal
+        densities cancel in the MH ratio.
+        """
+        k_prop, k_acc = jax.random.split(key)
+        sigma_inv, chol_g, g_inv = jax.vmap(model.latent_mass)(theta)
+        eps = jnp.asarray(config.latent_step_size, x.dtype)
+
+        def drift(xc):
+            logp, grad = model.latent_logp_and_grad(xc, sigma_inv)
+            mean = xc + 0.5 * eps * jnp.einsum(
+                "...ab,...b->...a", g_inv, grad, precision=_PREC
+            )
+            return logp, mean
+
+        logp0, mean_fwd = drift(x)
+        z = jax.random.normal(k_prop, x.shape, x.dtype)
+        # noise ~ N(0, G^{-1}): L^{-T} z with L = chol(G).
+        noise = jax.lax.linalg.triangular_solve(
+            chol_g, z[..., None], lower=True, transpose_a=True, left_side=True
+        )[..., 0]
+        x_new = mean_fwd + jnp.sqrt(eps) * noise
+        logp_new, mean_rev = drift(x_new)
+
+        def quad(delta):
+            t = jnp.einsum("...ij,...i->...j", chol_g, delta, precision=_PREC)
+            return jnp.sum(t * t, axis=-1)
+
+        log_q_fwd = -0.5 * quad(x_new - mean_fwd) / eps
+        log_q_rev = -0.5 * quad(x - mean_rev) / eps
+        ratio = logp_new + log_q_rev - logp0 - log_q_fwd
+        divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
+        accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
+        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+
+    if config.method == "mmala":
+        from riemannhamiltonianmontecarlo_tpu.samplers import mmala as mmala_mod
+
+        hyper_mmala_cfg = mmala_mod.MMALAConfig(
+            step_size=config.hyper_step_size, jitter=1e-6
+        )
+
     def step(key: Array, state: LGCJointState) -> tuple[LGCJointState, Info]:
         k_hyper, k_latent = jax.random.split(key)
 
         # Block 1: hyperparameters (reference order: theta first, :168).
         hyper_model = model.hyper_manifold(state.x)
-        hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
-        h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
-        h_new, h_info = hyper_kernel.step(k_hyper, h_state)
+        if config.method == "mmala":
+            hyper_kernel = mmala_mod.build(hyper_model, hyper_mmala_cfg)
+            h_state = hyper_kernel.init(state.theta)
+            h_new, h_info = hyper_kernel.step(k_hyper, h_state)
+        else:
+            hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
+            h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
+            h_new, h_info = hyper_kernel.step(k_hyper, h_state)
         theta = h_new.position
 
         # Block 2: latents at the current hyperparameters.
-        x, lat_prob, lat_div = latent_update(k_latent, state.x, theta)
+        if config.method == "mmala":
+            x, lat_prob, lat_div = latent_mmala_update(k_latent, state.x, theta)
+        else:
+            x, lat_prob, lat_div = latent_update(k_latent, state.x, theta)
 
         position = jnp.exp(theta)
         info = Info(

@@ -125,6 +125,24 @@ def test_run_workload_stochvol_small():
     assert "stochvol/mala" in res.summary()
 
 
+def test_stochvol_mala_transient_schedule():
+    """StochVol MALA runs the transient-phase step sizes during burn-in
+    (StochVol_MALA.m:62-67) and switches to stationary at the boundary
+    (:279-283)."""
+    from riemannhamiltonianmontecarlo_tpu.experiments import build_workload, run_workload
+
+    kernel, _, _, _, warm = build_workload("stochvol", "mala", stochvol_obs=60)
+    assert warm is not None
+    # Transient eps = 0.05/sqrt(T) differs from stationary 0.03/T^(1/3):
+    # the two kernels must be distinct closures over different configs.
+    assert warm.step is not kernel.step
+
+    res = run_workload("stochvol", "mala", num_chains=8, num_samples=20, burn_in=10,
+                       stochvol_obs=60)
+    assert np.isfinite(res.sampling_time_s)
+    assert np.all(np.isfinite(res.ess["latent"]))
+
+
 def test_run_workload_fhn_small():
     from riemannhamiltonianmontecarlo_tpu.experiments import run_workload
 

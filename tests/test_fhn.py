@@ -81,6 +81,23 @@ def test_rmhmc_posterior_near_truth(model):
     assert np.all(err < np.array([0.15, 0.3, 0.3])), (mean, err)
 
 
+def test_fhn_mmala_posterior_near_truth(model):
+    """Posterior correctness (not smoke) for mMALA, the paper's FHN winner
+    (Table 11, ODE_mMALA.m:69: eps = 1)."""
+    from riemannhamiltonianmontecarlo_tpu.samplers import mmala
+
+    kernel = mmala.build(model, mmala.MMALAConfig(step_size=1.0, jitter=1e-6))
+    c = 8
+    init = jnp.asarray(THETA_TRUE, jnp.float32) * jnp.exp(
+        0.1 * jax.random.normal(jax.random.key(4), (c, 3))
+    )
+    res = run(kernel, jax.random.key(5), init, num_samples=250, burn_in=150)
+    assert float(res.accept_rate) > 0.3
+    mean = np.asarray(res.samples).reshape(-1, 3).mean(0)
+    err = np.abs(mean - THETA_TRUE)
+    assert np.all(err < np.array([0.15, 0.3, 0.3])), (mean, err)
+
+
 def test_fhn_comparator_kernels_smoke(model):
     """mMALA / MALA / Metropolis run on the ODE model via generic kernels
     (reference ODE_mMALA.m / ODE_MALA.m / ODE_Metropolis.m comparators)."""

@@ -8,6 +8,7 @@ is sharded, which JAX's partitionable threefry guarantees.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from riemannhamiltonianmontecarlo_tpu.parallel import make_mesh, run
 from riemannhamiltonianmontecarlo_tpu.samplers import hmc
@@ -53,6 +54,41 @@ def test_sharded_samples_are_distributed():
     res = run(kernel, jax.random.key(1), init, num_samples=10, burn_in=0, mesh=mesh)
     shards = res.samples.sharding.device_set
     assert len(shards) == 8
+
+
+def test_lgc_latent_sharded_matches_replicated():
+    """Long-context axis (SURVEY.md section 5): the LGC D=1024 dense
+    operators sharded over a 'latent' mesh axis (rows of Sigma^{-1} /
+    G^{-1} / chol G distributed, matvecs psum over the axis) must
+    reproduce the replicated run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from riemannhamiltonianmontecarlo_tpu.models import lgc as lgc_model
+    from riemannhamiltonianmontecarlo_tpu.samplers import phmc
+
+    n = 32  # D = 1024
+    y, _ = lgc_model.generate_data(seed=0, n=n)
+    model = lgc_model.LGCModel(jnp.asarray(y, jnp.float32), n=n)
+    cfg = phmc.PHMCConfig(step_size=0.05, num_leapfrog=3)
+    init = jnp.tile(model.prior_mean(), (8, 1))
+
+    kernel = phmc.build(model, model.metric_chol, model.metric_inv, cfg)
+    res_plain = run(kernel, jax.random.key(0), init, num_samples=6, burn_in=0)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("chains", "latent"))
+    sm = model.with_sharding(mesh)
+    # Operators really are distributed: half the rows per latent shard.
+    assert sm.sigma_inv.sharding.shard_shape(sm.sigma_inv.shape) == (512, 1024)
+    kernel_s = phmc.build(sm, sm.metric_chol, sm.metric_inv, cfg)
+    init_s = jax.device_put(init, NamedSharding(mesh, P("chains", "latent")))
+    res_sharded = run(kernel_s, jax.random.key(0), init_s, num_samples=6, burn_in=0)
+
+    np.testing.assert_allclose(
+        np.asarray(res_plain.samples), np.asarray(res_sharded.samples),
+        rtol=1e-3, atol=1e-3,
+    )
+    assert float(res_plain.accept_rate) == pytest.approx(
+        float(res_sharded.accept_rate), abs=1e-3)  # f32 reduction order
 
 
 def test_graft_entry_dryrun_multichip():

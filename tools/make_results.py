@@ -36,7 +36,10 @@ CHAINS = {
     "mmala": 2048,
     "mmala_simplified": 2048,
     "iwls": 2048,
-    "gibbs": 256,
+    # Gibbs is serial-latency-bound in N (see samplers/gibbs.py docstring):
+    # 256->1024 chains costs 35->69 ms/step but 4x the ESS, so ~2x better
+    # s/minESS.
+    "gibbs": 1024,
     "rmhmc": 2048,
     "rmhmc_studentt": 2048,
 }

@@ -75,6 +75,41 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
     return samples, accept, t
 
 
+def timed_halves_segmented(kernel, init, *, burn_in: int, num_samples: int,
+                           seg: int = 20, seed: int = 0):
+    """timed_halves in ``seg``-step device calls.
+
+    The axon-tunneled backend kills device programs that run for minutes
+    (observed on FHN HMC: 150 leapfrogs x 1000-step RK4 sensitivity
+    solves per sample); chaining short scans through ``init_state`` keeps
+    each RPC bounded while preserving the two-half timing protocol.
+    """
+    key = jax.random.key(seed)
+
+    def run_segs(k, state, steps, collect):
+        outs = []
+        for i in range(0, steps, seg):
+            n = min(seg, steps - i)
+            r = parallel.run(kernel, jax.random.fold_in(k, i), None if state is not None else init,
+                             num_samples=n, collect=collect, init_state=state)
+            state = r.final_state
+            if collect:
+                outs.append(r.samples)
+            jax.block_until_ready(jax.tree.leaves(state)[0])
+        samples = jnp.concatenate(outs, axis=1) if collect else None
+        return state, samples, (float(r.accept_rate) if steps else 0.0)
+
+    k_w, k_a, k_b = jax.random.split(key, 3)
+    state, _, _ = run_segs(k_w, None, burn_in, False)
+    half = max(num_samples // 2, 1)
+    state, sa, acc_a = run_segs(k_a, state, half, True)
+    t0 = time.perf_counter()
+    state, sb, acc_b = run_segs(k_b, state, half, True)
+    t = 2.0 * (time.perf_counter() - t0)
+    samples = jnp.concatenate([sa, sb], axis=1)
+    return samples, 0.5 * (acc_a + acc_b), t
+
+
 def ess_stats(samples) -> tuple[float, float, float]:
     """(min, med, max) over coordinates of chain-summed Geyer ESS."""
     ess = np.asarray(ess_geyer_device(samples))
@@ -245,8 +280,11 @@ def run_fhn() -> str:
             model, metropolis.AMHConfig(init_proposal_sd=0.05)), 512, 2000, 1000, 0.17),
         ("mala", lambda: mala.build(model, mala.MALAConfig(step_size=2e-4)),
          512, 2000, 1000, 0.67),
+        # L=150 leapfrogs x 1000-step RK4 sensitivity solves per sample: the
+        # longest sequential chain in the suite (paper: 8154 s).  Keep the
+        # on-device scan segments short enough for the tunneled backend.
         ("hmc", lambda: hmc.build(model, hmc.HMCConfig(step_size=1 / 150, num_leapfrog=150)),
-         256, 1000, 300, 0.23),
+         64, 400, 200, 0.23),
         ("mmala", lambda: mmala.build(model, mmala.MMALAConfig(step_size=1.0, jitter=1e-6)),
          512, 2000, 500, 0.037),
         ("mmala_simplified", lambda: mmala.build(
@@ -263,7 +301,11 @@ def run_fhn() -> str:
         init = jnp.tile(theta0, (chains, 1)) * (
             1.0 + 0.05 * jax.random.normal(jax.random.key(11), (chains, 3)))
         try:
-            s, accept, t = timed_halves(build(), init, burn_in=burn, num_samples=samples)
+            if name == "hmc":  # see timed_halves_segmented docstring
+                s, accept, t = timed_halves_segmented(
+                    build(), init, burn_in=burn, num_samples=samples, seg=20)
+            else:
+                s, accept, t = timed_halves(build(), init, burn_in=burn, num_samples=samples)
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             continue
