@@ -147,6 +147,32 @@ def adaptive_parts(name: str, dataset: str, overrides: dict[str, Any] | None = N
     raise KeyError(f"sampler '{name}' has no adaptable step size")
 
 
+def _chained(kernel, key, position, init_state, steps: int, *, mesh, collect: bool,
+             seg: int):
+    """Run ``steps`` kernel steps in <=``seg``-step device calls.
+
+    Long single XLA executions (minutes) fault the tunneled TPU backend;
+    chaining short scans through ``init_state`` bounds each RPC.  Returns
+    (final_state, samples_or_None, accept_rate, divergences).
+    """
+    state, outs, acc, div = init_state, [], 0.0, 0
+    for i in range(0, steps, seg):
+        n = min(seg, steps - i)
+        r = parallel.run(
+            kernel, jax.random.fold_in(key, i),
+            position if state is None else None,
+            num_samples=n, burn_in=0, collect=collect, init_state=state, mesh=mesh,
+        )
+        state = r.final_state
+        if collect:
+            outs.append(r.samples)
+        acc += float(r.accept_rate) * n
+        div += int(r.divergences)
+        jax.block_until_ready(jax.tree.leaves(state)[0])
+    samples = jnp.concatenate(outs, axis=1) if collect else None
+    return state, samples, acc / max(steps, 1), div
+
+
 def run_experiment(
     sampler: str,
     dataset: str = "australian",
@@ -161,6 +187,7 @@ def run_experiment(
     keep_samples: bool = False,
     sampler_overrides: dict[str, Any] | None = None,
     adapt: bool = False,
+    max_steps_per_call: int | None = None,
 ) -> ExperimentResult:
     preset = reference_preset(sampler, dataset)
     num_samples = preset.num_samples if num_samples is None else num_samples
@@ -183,6 +210,9 @@ def run_experiment(
     else:
         raise ValueError(f"init must be map|zeros|reference, got {init!r}")
 
+    half = max(num_samples // 2, 1)
+    seg = max_steps_per_call or max(burn_in, half, 1)
+
     adapted_eps = None
     if adapt:
         # Dual-averaging warmup on pooled acceptance: no hand-tuned step.
@@ -199,40 +229,31 @@ def run_experiment(
         warm_state = warm.final_state.inner
     else:
         kernel, warmup_kernel = build_kernel(sampler, model, dataset, sampler_overrides)
-        warm = parallel.run(
-            kernel,
-            k_warm,
-            position,
-            num_samples=burn_in,
-            burn_in=0,
-            collect=False,
-            mesh=mesh,
-            warmup_kernel=warmup_kernel,
+        # The transient-phase kernel (e.g. MALA's 2 sqrt(D) scaling,
+        # BLR_MALA.m:167) actually *steps* the burn-in; its state type
+        # matches the stationary kernel's.
+        warm_state, _, _, _ = _chained(
+            warmup_kernel or kernel, k_warm, position, None, burn_in,
+            mesh=mesh, collect=False, seg=seg,
         )
-        warm_state = warm.final_state
     jax.block_until_ready(warm_state.position)
 
-    half = max(num_samples // 2, 1)
-    res_a = parallel.run(
-        kernel, k_a, None, num_samples=half, burn_in=0, init_state=warm_state, mesh=mesh
-    )
-    jax.block_until_ready(res_a.samples)
+    state_a, samples_a, acc_a, div_a = _chained(
+        kernel, k_a, None, warm_state, half, mesh=mesh, collect=True, seg=seg)
     t0 = time.perf_counter()
-    res_b = parallel.run(
-        kernel, k_b, None, num_samples=half, burn_in=0, init_state=res_a.final_state, mesh=mesh
-    )
-    jax.block_until_ready(res_b.samples)
+    _, samples_b, acc_b, div_b = _chained(
+        kernel, k_b, None, state_a, half, mesh=mesh, collect=True, seg=seg)
     t_half = time.perf_counter() - t0
     sampling_time = 2.0 * t_half
 
-    accept = 0.5 * (float(res_a.accept_rate) + float(res_b.accept_rate))
-    div = int(res_a.divergences) + int(res_b.divergences)
+    accept = 0.5 * (acc_a + acc_b)
+    div = div_a + div_b
 
     if ess_mode == "device":
         # Compute ESS and posterior moments on-device: only tiny arrays
         # cross the host link (matters on tunneled TPU backends where a
         # (C, S, D) sample transfer costs minutes).  Alias-free ACF.
-        dev_samples = jnp.concatenate([res_a.samples, res_b.samples], axis=1)
+        dev_samples = jnp.concatenate([samples_a, samples_b], axis=1)
         ess = np.asarray(diagnostics.ess_geyer_device(dev_samples))
         rhat_max = float(jnp.max(diagnostics.split_rhat_device(dev_samples)))
         flat_mean = np.asarray(jnp.mean(dev_samples, axis=(0, 1)))
@@ -241,7 +262,7 @@ def run_experiment(
         samples = np.asarray(dev_samples) if keep_samples else None
     else:
         samples = np.concatenate(
-            [np.asarray(res_a.samples), np.asarray(res_b.samples)], axis=1
+            [np.asarray(samples_a), np.asarray(samples_b)], axis=1
         )  # (C, S, D)
         if ess_mode == "native":
             # Threaded C++ engine (native/fastess.cpp): host-side Geyer ESS

@@ -49,6 +49,11 @@ class LGCJointConfig:
     # theta metric G = Sigma^{-1} + diag(m exp(mu + diag Sigma)) (:353-375,
     # curvature terms vanish since G is x-independent).
     method: str = "rmhmc"
+    # Initial latent field (D,); None = the prior mean mu (the reference
+    # init).  NOTE: theta | x is improper at x = mu exactly (the quadratic
+    # term vanishes and -1/2 log|Sigma| is unbounded as sigma^2 -> 0), so
+    # frozen-latent diagnostics must start from a realistic field.
+    latent_init: jax.Array | None = None
 
 
 class LGCJointState(NamedTuple):
@@ -72,9 +77,10 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
         """position: (C, 2) constrained initial (sigma^2, beta)."""
         c = position.shape[0]
         theta = jnp.log(position)
-        x = jnp.broadcast_to(
-            jnp.full((model.dim,), model.mu, position.dtype), (c, model.dim)
-        )
+        x0 = (jnp.full((model.dim,), model.mu, position.dtype)
+              if config.latent_init is None
+              else jnp.asarray(config.latent_init, position.dtype))
+        x = jnp.broadcast_to(x0, (c, model.dim))
         return LGCJointState(position, theta, x)
 
     def latent_update(key: Array, x: Array, theta: Array):

@@ -162,6 +162,68 @@ def test_lgc_joint_sampler_small():
     assert float(res.accept_rate) > 0.2
 
 
+def test_lgc_joint_mmala_matches_rmhmc_posterior():
+    """Cross-kernel parity between the joint mMALA (LGC_mMALA_Paras_LV.m)
+    and joint RMHMC (LGC_RMHMC_Paras_LV.m), tested block-conditionally:
+    the full joint's beta (GP length scale) mixes over hundreds of
+    iterations, so full-run moment differences are dominated by hyper
+    drift, not kernel error.  Freezing one block at a time makes each
+    conditional fast-mixing and the parity check sharp.
+
+    * latent block: with the hyper step ~0, both kernels sample exactly
+      x | theta0 -- field means must agree tightly;
+    * hyper block: with the latent step ~0, both sample the 2-D
+      theta | x posterior -- theta means must agree tightly.
+    """
+    from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data
+    from riemannhamiltonianmontecarlo_tpu.samplers import lgc_joint
+
+    y, _ = generate_data(seed=7, n=10)
+    model = LGCJointModel(y, n=10)
+    init = jnp.tile(jnp.asarray([1.91, 1.0 / 33.0], jnp.float32), (4, 1))
+
+    # --- latent-block parity at frozen theta ---------------------------
+    # mMALA mixes diffusively (paper Table 10: 16x slower than RMHMC), so
+    # the test uses a larger latent step (accept ~0.95, unbiased --
+    # verified against the phmc oracle) to reach stationarity quickly.
+    x_mean = {}
+    for method, eps in (("rmhmc", 0.1), ("mmala", 0.5)):
+        cfg = lgc_joint.LGCJointConfig(
+            method=method, latent_num_leapfrog=8, hyper_step_size=1e-6,
+            latent_step_size=eps)
+        kernel = lgc_joint.build(model, cfg)
+        r = run(kernel, jax.random.key(3), init, num_samples=600, burn_in=500,
+                collect_fn=lambda st: st.x)
+        assert float(r.accept_rate) > 0.3, (method, float(r.accept_rate))
+        x = np.asarray(r.samples)
+        assert np.isfinite(x).all()
+        x_mean[method] = x.reshape(-1, model.dim).mean(0)
+    delta = x_mean["mmala"] - x_mean["rmhmc"]
+    assert np.abs(delta).mean() < 0.15, np.abs(delta).mean()
+    # The field average is ONE correlated scalar (GP length scale couples
+    # all coordinates): its MC SE here is ~0.06 per kernel, so bound at
+    # ~2.5 combined sigma.
+    assert abs(delta.mean()) < 0.2, delta.mean()
+
+    # --- hyper-block parity at frozen latents --------------------------
+    # Latents frozen at the GENERATING field: theta | x is improper at
+    # x = mu (see LGCJointConfig.latent_init), but proper and informative
+    # at a realistic draw.
+    _, x_true = generate_data(seed=7, n=10)
+    th_mean = {}
+    for method in ("rmhmc", "mmala"):
+        cfg = lgc_joint.LGCJointConfig(
+            method=method, latent_num_leapfrog=1, latent_step_size=1e-8,
+            latent_init=jnp.asarray(x_true, jnp.float32))
+        kernel = lgc_joint.build(model, cfg)
+        r = run(kernel, jax.random.key(5), init, num_samples=500, burn_in=300,
+                collect_fn=lambda st: st.theta)
+        th = np.asarray(r.samples).reshape(-1, 2)
+        assert np.isfinite(th).all()
+        th_mean[method] = th.mean(0)
+    np.testing.assert_allclose(th_mean["mmala"], th_mean["rmhmc"], atol=0.25)
+
+
 def test_lgc_joint_hyper_geometry():
     """Hyper-block gradient matches autodiff; metric is PD."""
     from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data

@@ -66,6 +66,12 @@ PAPER = {
 
 TABLE_NO = {"australian": 3, "german": 4, "pima": 5, "heart": 6, "ripley": 7}
 
+# Bound each device call (the tunneled backend faults on multi-minute
+# single XLA executions; experiments._chained).  Gibbs at 1024 chains runs
+# ~69 ms/step -> 500-step calls ~35 s.
+SEGMENT = {"gibbs": 500}
+DEFAULT_SEGMENT = 1250
+
 HEADER = ("| sampler | chains | samples | accept | total ESS (min, med, max) "
           "| time (s) | s/minESS | paper s/minESS | speedup |\n"
           "|---|---|---|---|---|---|---|---|---|")
@@ -92,7 +98,8 @@ def run_dataset(dataset: str) -> str:
         print(f"--- {dataset}/{sampler} ({chains} chains x 5000)", flush=True)
         try:
             res = run_experiment(sampler, dataset, num_chains=chains,
-                                 ess_mode="device")
+                                 ess_mode="device",
+                                 max_steps_per_call=SEGMENT.get(sampler, DEFAULT_SEGMENT))
         except Exception as e:  # keep the table going
             print(f"    FAILED: {e}", flush=True)
             rows.append(f"| {sampler} | -- | -- | FAILED | | | | {paper} | |")
