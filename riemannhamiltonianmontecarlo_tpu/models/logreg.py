@@ -63,6 +63,12 @@ class LogisticRegression:
     X: Array
     t: Array
     alpha: float = 100.0
+    # Row-validity mask (1 real, 0 padding), or None when no padding.  Set
+    # by ``with_sharding`` so N can round up to a multiple of the mesh
+    # axis; a padded row has x_n = 0 and t_n = 0, which contributes zero
+    # to grad / G / dG by construction and is masked out of logp's
+    # ``softplus(0) = log 2`` term below.
+    mask: Array | None = None
 
     def __post_init__(self):
         object.__setattr__(self, "X", jnp.asarray(self.X))
@@ -76,6 +82,38 @@ class LogisticRegression:
     def num_data(self) -> int:
         return self.X.shape[0]
 
+    def with_sharding(self, mesh, axis: str = "data"):
+        """Copy of the model with the design matrix row-sharded over
+        ``axis`` of ``mesh`` -- the tensor-parallel data axis
+        (SURVEY.md section 2.4 TP row).
+
+        Every contraction over n in this file (logits ``w X^T``, gradient
+        ``resid X``, metric build ``X^T diag(v) X``, the dG reductions)
+        lowers under GSPMD to per-device partial products + a ``psum``
+        over ``axis``: each device stores N/k rows of X and only
+        (chains, D)-sized activations cross the ICI.  N is zero-padded up
+        to a multiple of the axis size; padded rows have x_n = 0, t_n = 0
+        (zero contribution to grad / G / dG) and a 0 ``mask`` entry that
+        removes their ``softplus(0)`` bias from logp, so results are
+        bitwise-comparable to the unsharded model up to reduction order.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        k = mesh.shape[axis]
+        n = self.num_data
+        n_pad = (-n) % k
+        x_np = jnp.pad(self.X, ((0, n_pad), (0, 0)))
+        t_np = jnp.pad(self.t, (0, n_pad))
+        mask = jnp.pad(jnp.ones((n,), self.X.dtype), (0, n_pad))
+        rows = NamedSharding(mesh, PartitionSpec(axis, None))
+        vec = NamedSharding(mesh, PartitionSpec(axis))
+        return dataclasses.replace(
+            self,
+            X=jax.device_put(x_np, rows),
+            t=jax.device_put(t_np, vec),
+            mask=jax.device_put(mask, vec),
+        )
+
     # -- densities ---------------------------------------------------------
 
     def _logits(self, w: Array) -> Array:
@@ -87,10 +125,16 @@ class LogisticRegression:
         const = -0.5 * d * jnp.log(2.0 * jnp.pi * self.alpha)
         return const - 0.5 * jnp.sum(w * w, axis=-1) / self.alpha
 
+    def _loglik(self, f: Array) -> Array:
+        # f * t is already 0 on padded rows (f = x_n.w = 0); softplus(0)
+        # = log 2 is not, so it is the one term that needs the mask.
+        sp = jax.nn.softplus(f)
+        if self.mask is not None:
+            sp = sp * self.mask
+        return jnp.sum(f * self.t, axis=-1) - jnp.sum(sp, axis=-1)
+
     def logp(self, w: Array) -> Array:
-        f = self._logits(w)
-        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
-        return loglik + self.log_prior(w)
+        return self._loglik(self._logits(w)) + self.log_prior(w)
 
     def grad(self, w: Array) -> Array:
         f = self._logits(w)
@@ -99,8 +143,7 @@ class LogisticRegression:
 
     def logp_and_grad(self, w: Array) -> tuple[Array, Array]:
         f = self._logits(w)
-        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
-        logp = loglik + self.log_prior(w)
+        logp = self._loglik(f) + self.log_prior(w)
         resid = self.t - jax.nn.sigmoid(f)
         return logp, jnp.matmul(resid, self.X, precision=PRECISION) - w / self.alpha
 
@@ -125,8 +168,7 @@ class LogisticRegression:
     def manifold_state(self, w: Array) -> ManifoldState:
         """Fused logp + grad + G + dG weights (one logits matmul)."""
         f = self._logits(w)
-        loglik = jnp.sum(f * self.t, axis=-1) - jnp.sum(jax.nn.softplus(f), axis=-1)
-        logp = loglik + self.log_prior(w)
+        logp = self._loglik(f) + self.log_prior(w)
         p = jax.nn.sigmoid(f)
         grad = jnp.matmul(self.t - p, self.X, precision=PRECISION) - w / self.alpha
         v = p * (1.0 - p)

@@ -91,6 +91,74 @@ def test_lgc_latent_sharded_matches_replicated():
         float(res_sharded.accept_rate), abs=1e-3)  # f32 reduction order
 
 
+def test_blr_data_sharded_matches_replicated():
+    """Tensor-parallel data axis (SURVEY.md section 2.4 TP row): the BLR
+    design matrix row-sharded over a 'data' mesh axis (N=690 zero-padded
+    to 696 = 8 x 87; X^T diag(v) X and every other n-contraction psum
+    over the axis) must reproduce the replicated model exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from riemannhamiltonianmontecarlo_tpu.models import datasets, logreg
+    from riemannhamiltonianmontecarlo_tpu.samplers import rmhmc
+
+    ds = datasets.load_dataset("australian")
+    x, t = ds.X, ds.t
+    model = logreg.LogisticRegression(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(t, jnp.float32))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("data",))
+    sm = model.with_sharding(mesh)
+    assert sm.X.shape[0] % 8 == 0
+    assert sm.X.sharding.shard_shape(sm.X.shape)[0] == sm.X.shape[0] // 8
+
+    w = jax.random.normal(jax.random.key(7), (16, model.dim)) * 0.2
+
+    ms_plain = jax.jit(model.manifold_state)(w)
+    ms_shard = jax.jit(sm.manifold_state)(w)
+    np.testing.assert_allclose(np.asarray(ms_plain.logp),
+                               np.asarray(ms_shard.logp), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ms_plain.grad),
+                               np.asarray(ms_shard.grad), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ms_plain.metric),
+                               np.asarray(ms_shard.metric), rtol=2e-4, atol=2e-4)
+
+    # Full manifold kernel end-to-end on the sharded model.
+    cfg = rmhmc.RMHMCConfig(step_size=0.5, num_leapfrog=2, num_fixed_point=4)
+    res_plain = run(rmhmc.build(model, cfg), jax.random.key(0), w,
+                    num_samples=5, burn_in=0)
+    res_shard = run(rmhmc.build(sm, cfg), jax.random.key(0), w,
+                    num_samples=5, burn_in=0)
+    np.testing.assert_allclose(np.asarray(res_plain.samples),
+                               np.asarray(res_shard.samples),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_blr_two_axis_chains_by_data():
+    """2-axis mesh: chains sharded over 'chains' AND the design matrix
+    over 'data' in the same jit -- the DP x TP layout for huge-N BLR."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from riemannhamiltonianmontecarlo_tpu.models import datasets, logreg
+    from riemannhamiltonianmontecarlo_tpu.samplers import mala
+
+    ds = datasets.load_dataset("heart")
+    x, t = ds.X, ds.t
+    model = logreg.LogisticRegression(jnp.asarray(x, jnp.float32),
+                                      jnp.asarray(t, jnp.float32))
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("chains", "data"))
+    sm = model.with_sharding(mesh)
+    init = jnp.zeros((8, model.dim))
+    init_s = jax.device_put(init, NamedSharding(mesh, P("chains", None)))
+
+    cfg = mala.MALAConfig(step_size=0.05)
+    res_plain = run(mala.build(model, cfg), jax.random.key(1), init,
+                    num_samples=8, burn_in=0)
+    res_shard = run(mala.build(sm, cfg), jax.random.key(1), init_s,
+                    num_samples=8, burn_in=0)
+    np.testing.assert_allclose(np.asarray(res_plain.samples),
+                               np.asarray(res_shard.samples),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_graft_entry_dryrun_multichip():
     """The driver-facing multichip dry run must pass on the virtual mesh."""
     import __graft_entry__ as graft
