@@ -33,7 +33,9 @@ class ExperimentConfig:
 _BLR_PRESETS: dict[str, tuple[int, int, dict[str, Any]]] = {
     # code/metropolis.py:14
     "metropolis": (10000, 5000, {}),
-    # code/hmc.py:12
+    # code/hmc.py:12 (eps=0.14 is the heart/ripley constant; the MATLAB
+    # switch blocks BLR_hmc.m:36,:72,:108,:138,:168 are per-dataset --
+    # see HMC_STEP_SIZES below, applied by reference_preset).
     "hmc": (6000, 1000, {"step_size": 0.14, "num_leapfrog": 100}),
     # code/rmhmc.py:13
     "rmhmc": (
@@ -64,14 +66,27 @@ def reference_preset(sampler: str, dataset: str = "australian", **overrides) -> 
     if sampler not in _BLR_PRESETS:
         raise KeyError(f"no preset for sampler '{sampler}'; options: {sorted(_BLR_PRESETS)}")
     iters, burn, kwargs = _BLR_PRESETS[sampler]
+    kwargs = dict(kwargs)
+    if sampler == "hmc" and dataset in HMC_STEP_SIZES:
+        kwargs["step_size"] = HMC_STEP_SIZES[dataset]
     cfg = ExperimentConfig(
         sampler=sampler,
         dataset=dataset,
         num_iterations=iters,
         burn_in=burn,
-        sampler_kwargs=dict(kwargs),
+        sampler_kwargs=kwargs,
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+# Per-dataset HMC step sizes (BLR_hmc.m:36,:72,:108,:138,:168).
+HMC_STEP_SIZES = {
+    "australian": 0.1,
+    "german": 0.05,
+    "heart": 0.14,
+    "pima": 0.1,
+    "ripley": 0.14,
+}
 
 
 # Per-dataset MALA step sizes (BLR_MALA.m switch blocks :35,:70,:105,:135,:166).

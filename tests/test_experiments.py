@@ -11,7 +11,12 @@ def test_presets_reproduce_reference_constants():
     p = reference_preset("rmhmc")
     assert (p.num_iterations, p.burn_in) == (6000, 1000)
     assert p.sampler_kwargs == {"step_size": 0.5, "num_leapfrog": 6, "num_fixed_point": 4}
+    # Per-dataset HMC step sizes (BLR_hmc.m:36,:72,:108,:138,:168).
     p = reference_preset("hmc")
+    assert p.sampler_kwargs == {"step_size": 0.1, "num_leapfrog": 100}
+    p = reference_preset("hmc", "german")
+    assert p.sampler_kwargs == {"step_size": 0.05, "num_leapfrog": 100}
+    p = reference_preset("hmc", "heart")
     assert p.sampler_kwargs == {"step_size": 0.14, "num_leapfrog": 100}
     p = reference_preset("mala")
     assert (p.num_iterations, p.burn_in) == (25000, 20000)
