@@ -243,8 +243,11 @@ def run_lgc() -> str:
     print("--- lgc/mmala", flush=True)
     try:
         kernel = mmala.build(model, mmala.MMALAConfig(step_size=0.07, jitter=1e-5))
-        x, accept, t = timed_halves(kernel, init_at_mean(2), burn_in=150, num_samples=200)
-        rows.append(row("mmala", 2, 200, accept, ess_stats(x), t, 24.1))
+        # 8 chains: the per-step cost is the batched D=4096 Cholesky of
+        # G(x), which utilizes the chip far better at batch 8 than 2
+        # (G + factor = 128 MB/chain, so 8 chains ~ 1 GB HBM).
+        x, accept, t = timed_halves(kernel, init_at_mean(8), burn_in=150, num_samples=200)
+        rows.append(row("mmala", 8, 200, accept, ess_stats(x), t, 24.1))
         print("   ", rows[-1], flush=True)
     except Exception as e:
         print(f"    FAILED: {e}", flush=True)
