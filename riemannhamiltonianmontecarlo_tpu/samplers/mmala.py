@@ -51,7 +51,7 @@ class MMALAState(NamedTuple):
     logp: Array  # (C,)
     mean: Array  # (C, D) drift mean at the current position
     metric: Array  # (C, D, D) G(w)
-    inv_chol: Array  # (C, D, D) lower Cholesky factor of G^{-1}
+    inv_chol: Array  # (C, D, D) triangular factor A of G^{-1} = A A^T (= chol(G)^{-T})
 
 
 def build(model, config: MMALAConfig = MMALAConfig()) -> Kernel:
@@ -62,15 +62,26 @@ def build(model, config: MMALAConfig = MMALAConfig()) -> Kernel:
         g = ms.metric
         if config.jitter:
             g = g + config.jitter * jnp.eye(g.shape[-1], dtype=g.dtype)
-        inv_g = ops.inv_psd(g)
-        first = jnp.einsum("...ab,...b->...a", inv_g, ms.grad, precision=_PREC)
+        # One factorization per step: from L = chol(G), G^{-1} = L^{-T}L^{-1}
+        # and L^{-T} is itself a factor of G^{-1} (L^{-T}L^{-T,T} = G^{-1}),
+        # so the proposal-covariance "Cholesky" is the triangular inverse --
+        # no second O(D^3) factorization of G^{-1} (the dominant saving at
+        # LGC's D = 4096, where chol alone is ~D^3/3 non-MXU work).  All
+        # consumers (mvn_sample, the log-q diagonal) are factor-agnostic:
+        # diag(L^{-T}) = 1/diag(L) gives the same half log-det.
+        chol_g = ops.cholesky(g)
+        linv = ops.solve_lower_triangular(
+            chol_g, jnp.broadcast_to(jnp.eye(g.shape[-1], dtype=g.dtype), g.shape)
+        )
+        inv_chol = jnp.swapaxes(linv, -1, -2)
+        first = ops.cho_solve(chol_g, ms.grad)
         mean = w + 0.5 * eps * first
         if not config.simplified:
+            inv_g = jnp.matmul(inv_chol, linv, precision=_PREC)
             second = model.dg_dotted(w, inv_g, cache=ms.cache)
             trace_vec = model.dg_trace(w, inv_g, cache=ms.cache)
-            third = jnp.einsum("...ab,...b->...a", inv_g, trace_vec, precision=_PREC)
+            third = ops.cho_solve(chol_g, trace_vec)
             mean = mean - eps * second + 0.5 * eps * third
-        inv_chol = ops.cholesky(inv_g)
         return ms.logp, mean, g, inv_chol
 
     def log_q(mean: Array, x: Array, g: Array, inv_chol: Array) -> Array:
