@@ -66,6 +66,7 @@ class ExperimentResult:
     posterior_mean: np.ndarray
     posterior_std: np.ndarray
     rhat_max: float = float("nan")
+    geweke_max_abs_z: float = float("nan")
     adapted_step_size: float | None = None  # set by --adapt runs
     samples: np.ndarray | None = None
 
@@ -78,7 +79,7 @@ class ExperimentResult:
             f"  sampling time: {self.sampling_time_s:.3f} s   "
             f"time/minESS: {self.time_per_min_ess:.3e} s   "
             f"accept: {self.accept_rate:.3f}   divergences: {self.divergences}   "
-            f"max R-hat: {self.rhat_max:.4f}\n"
+            f"max R-hat: {self.rhat_max:.4f}   max |Geweke z|: {self.geweke_max_abs_z:.2f}\n"
             f"  posterior mean[:5]: {np.round(self.posterior_mean[:5], 3)}"
         )
 
@@ -259,6 +260,11 @@ def run_experiment(
         flat_mean = np.asarray(jnp.mean(dev_samples, axis=(0, 1)))
         flat_std = np.asarray(jnp.std(dev_samples, axis=(0, 1)))
         num_kept = int(dev_samples.shape[1])
+        # Geweke stationarity check on a small chain subset (only a
+        # (<=8, S, D) slice crosses the tunnel).
+        geweke_max = float(
+            np.abs(diagnostics.geweke_z(np.asarray(dev_samples[:8]))).max()
+        )
         samples = np.asarray(dev_samples) if keep_samples else None
     else:
         samples = np.concatenate(
@@ -272,6 +278,7 @@ def run_experiment(
         else:
             ess = diagnostics.ess_multichain(samples, nfft_mode=ess_mode)
         rhat_max = float(diagnostics.split_rhat(samples).max())
+        geweke_max = float(np.abs(diagnostics.geweke_z(samples[:8])).max())
         flat = samples.reshape(-1, samples.shape[-1])
         flat_mean, flat_std = flat.mean(axis=0), flat.std(axis=0)
         num_kept = samples.shape[1]
@@ -292,6 +299,7 @@ def run_experiment(
         posterior_mean=flat_mean,
         posterior_std=flat_std,
         rhat_max=rhat_max,
+        geweke_max_abs_z=geweke_max,
         adapted_step_size=adapted_eps,
         samples=samples if keep_samples else None,
     )
@@ -529,6 +537,7 @@ class WorkloadResult:
     sampling_time_s: float
     ess: dict[str, np.ndarray]  # group -> per-coordinate chain-summed ESS
     rhat_max: dict[str, float] = dataclasses.field(default_factory=dict)
+    geweke_max_abs_z: dict[str, float] = dataclasses.field(default_factory=dict)
 
     def summary(self) -> str:
         lines = [
@@ -538,10 +547,11 @@ class WorkloadResult:
         ]
         for group, ess in self.ess.items():
             rhat = self.rhat_max.get(group, float("nan"))
+            gz = self.geweke_max_abs_z.get(group, float("nan"))
             lines.append(
                 f"  {group}: ESS min {ess.min():.0f}  median {np.median(ess):.0f}  "
                 f"max {ess.max():.0f}   time/minESS {self.sampling_time_s / ess.min():.3e} s"
-                f"   max R-hat {rhat:.4f}"
+                f"   max R-hat {rhat:.4f}   max |Geweke z| {gz:.2f}"
             )
         return "\n".join(lines)
 
@@ -561,9 +571,13 @@ def run_workload(workload: str, sampler: str, *, num_chains: int = 64,
     ess = {g: np.asarray(diagnostics.ess_geyer_device(a)) for g, a in groups.items()}
     rhat = ({g: float(jnp.max(diagnostics.split_rhat_device(a))) for g, a in groups.items()}
             if num_chains >= 2 else {})
+    # Geweke stationarity per group on a small chain subset (bounded
+    # host transfer; z ~ N(0,1) under stationarity).
+    geweke = {g: float(np.abs(diagnostics.geweke_z(np.asarray(a[:8]))).max())
+              for g, a in groups.items()}
     num_kept = int(jax.tree.leaves(samples)[0].shape[1])
     return WorkloadResult(workload, sampler, num_chains, num_kept, accept, div, t, ess,
-                          rhat)
+                          rhat, geweke)
 
 
 def main(argv=None) -> None:
@@ -576,7 +590,11 @@ def main(argv=None) -> None:
     ap.add_argument("--burn-in", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--init", choices=("map", "zeros", "reference"), default="map")
-    ap.add_argument("--ess-mode", choices=("reference", "exact", "device"), default="reference")
+    ap.add_argument("--ess-mode", choices=("reference", "exact", "device", "native"),
+                    default="reference",
+                    help="'native' routes the Geyer estimator through the "
+                         "threaded C++ engine (native/fastess.cpp) -- the "
+                         "host-side path for C*P >> 1e4 series")
     ap.add_argument("--adapt", action="store_true",
                     help="dual-averaging step-size warmup instead of the "
                          "hand-tuned reference constant (BLR only)")

@@ -331,9 +331,93 @@ class LGCJointModel:
             [jnp.stack([g11, g12]), jnp.stack([g12, g22])]
         )
 
-    def hyper_manifold(self, x: Array):
-        """ManifoldModel view of theta~ | x (batched over leading axes)."""
-        from riemannhamiltonianmontecarlo_tpu.models.base import autodiff_manifold
+    # -- fused closed-form hyper geometry -----------------------------------
+    #
+    # Sigma(theta~) = sigma^2 K(beta) with K = exp(-S), S = dist/(beta n),
+    # so A_1 = Sigma^{-1} dSigma/dt_1 = I exactly and every Fisher/dG term
+    # reduces to ONE Cholesky of K, cho_solves for A_2 = K^{-1}(S o K) and
+    # B = K^{-1}((S^2 - S) o K), and one MXU matmul A_2 A_2 -- instead of
+    # jacfwd through Cholesky factorizations (the round-2 implementation,
+    # ~5x the flops and a multi-minute XLA compile at D = 4096).  Identities
+    # (d/dt_2 means d/d log beta):
+    #
+    #   d(S o K)/dt_2 = (S^2 - S) o K          (dS/dt_2 = -S, dK/dt_2 = S o K)
+    #   dA_2/dt_2     = -A_2 A_2 + B
+    #   G = [[D/2, tr(A_2)/2], [., tr(A_2 A_2)/2]] + diag prior curvature
+    #   dG/dt_2[1,1]  = -tr(A_2^3) + tr(A_2 B) + beta/gamma_theta
+    #
+    # with tr(A_2 A_2) = sum(A_2 o A_2^T), tr(A_2^3) = sum((A_2 A_2) o A_2^T),
+    # tr(A_2 B) = sum(A_2 o B^T) -- elementwise, no extra matmuls.  Verified
+    # against the autodiff oracle (``use_autodiff=True``) in tests/test_lgc.py.
+
+    def _hyper_geom_single(self, theta_t: Array, x: Array, *, parts: str):
+        """Fused hyper-block geometry at one (2,) theta~.
+
+        parts: "logp" (logp only), "metric" (metric only), or "full"
+        (logp, grad, metric, dG) -- the three call shapes of the RMHMC /
+        mMALA kernels, each paying only the linear algebra it needs.
+        """
+        d = self.dim
+        t1, t2 = theta_t[0], theta_t[1]
+        sigma_sq, beta = jnp.exp(t1), jnp.exp(t2)
+        s_mat = self.dist / (beta * self.n)
+        k_mat = jnp.exp(-s_mat)
+        chol_k = jnp.linalg.cholesky(k_mat)
+        out = {}
+
+        if parts in ("logp", "full"):
+            c = x - self.mu
+            v = jax.scipy.linalg.cho_solve((chol_k, True), c)  # K^{-1} c
+            quad = jnp.dot(c, v, precision=_PREC) / sigma_sq  # c^T Sigma^{-1} c
+            half_logdet = 0.5 * d * t1 + jnp.sum(jnp.log(jnp.diagonal(chol_k)))
+            prior = jnp.sum(self.gamma_k * theta_t - jnp.exp(theta_t) / self.gamma_theta)
+            out["logp"] = -half_logdet - 0.5 * quad + prior
+
+        if parts == "logp":
+            return out
+
+        sk = s_mat * k_mat
+        a2 = jax.scipy.linalg.cho_solve((chol_k, True), sk)  # K^{-1}(S o K)
+        tr_a2 = jnp.trace(a2)
+        tr_a2_sq = jnp.sum(a2 * a2.T)
+        out["metric"] = jnp.stack([
+            jnp.stack([0.5 * d + sigma_sq / self.gamma_theta, 0.5 * tr_a2]),
+            jnp.stack([0.5 * tr_a2, 0.5 * tr_a2_sq + beta / self.gamma_theta]),
+        ])
+        if parts == "metric":
+            return out
+
+        # gradient: dlogp/dt_i = -1/2 tr(A_i) + 1/2 c^T Sigma^{-1} dSigma_i
+        # Sigma^{-1} c + prior' (LGC_RMHMC_Paras_LV.m target, :147-150).
+        g1 = -0.5 * d + 0.5 * quad + self.gamma_k - sigma_sq / self.gamma_theta
+        skv = jnp.matmul(sk, v, precision=_PREC)
+        g2 = (-0.5 * tr_a2 + 0.5 * jnp.dot(v, skv, precision=_PREC) / sigma_sq
+              + self.gamma_k - beta / self.gamma_theta)
+        out["grad"] = jnp.stack([g1, g2])
+
+        b_mat = jax.scipy.linalg.cho_solve((chol_k, True), (s_mat * s_mat - s_mat) * k_mat)
+        a2a2 = jnp.matmul(a2, a2, precision=_PREC)
+        tr_a2_cube = jnp.sum(a2a2 * a2.T)
+        tr_a2_b = jnp.sum(a2 * b_mat.T)
+        dg12 = 0.5 * (jnp.trace(b_mat) - tr_a2_sq)
+        dg22 = -tr_a2_cube + tr_a2_b + beta / self.gamma_theta
+        zero = jnp.zeros_like(dg12)
+        dg = jnp.stack([
+            jnp.stack([jnp.stack([sigma_sq / self.gamma_theta, zero]),
+                       jnp.stack([zero, zero])]),
+            jnp.stack([jnp.stack([zero, dg12]),
+                       jnp.stack([dg12, dg22])]),
+        ])  # (2, 2, 2): dg[i] = dG/dt_i
+        out["dg"] = dg
+        return out
+
+    def hyper_manifold(self, x: Array, *, use_autodiff: bool = False):
+        """ManifoldModel view of theta~ | x (batched over leading axes).
+
+        ``use_autodiff=True`` derives grad/dG by jacfwd through the
+        reference-shaped ``_hyper_logp_single`` / ``_hyper_metric_single``
+        -- the slow oracle the closed-form path is tested against.
+        """
         from riemannhamiltonianmontecarlo_tpu.models.logreg import ManifoldState
 
         model = self
@@ -344,7 +428,73 @@ class LGCJointModel:
             lead = th.shape[:-1]
             flat = [a.reshape((-1,) + a.shape[len(lead):]) for a in (th, *args)]
             out = jax.vmap(fn)(*flat)
-            return out.reshape(lead + out.shape[1:])
+            return jax.tree.map(lambda o: o.reshape(lead + o.shape[1:]), out)
+
+        if use_autodiff:
+            return self._hyper_manifold_autodiff(x, _batched)
+
+        def _geom(th, parts: str):
+            if x.ndim == 1:
+                return _batched(lambda a: model._hyper_geom_single(a, x, parts=parts), th)
+            return _batched(lambda a, xx: model._hyper_geom_single(a, xx, parts=parts),
+                            th, x)
+
+        class _HyperManifold:
+            dim = 2
+
+            @staticmethod
+            def logp(th):
+                return _geom(th, "logp")["logp"]
+
+            @staticmethod
+            def grad(th):
+                return _geom(th, "full")["grad"]
+
+            @staticmethod
+            def logp_and_grad(th):
+                g = _geom(th, "full")
+                return g["logp"], g["grad"]
+
+            @staticmethod
+            def metric(th):
+                return _geom(th, "metric")["metric"]
+
+            @staticmethod
+            def dg_cache(th):
+                return _geom(th, "full")["dg"]
+
+            @staticmethod
+            def _dg(th, cache):
+                return _HyperManifold.dg_cache(th) if cache is None else cache
+
+            @staticmethod
+            def dg_bilinear(th, u, v, *, cache=None):
+                return jnp.einsum("...dab,...a,...b->...d",
+                                  _HyperManifold._dg(th, cache), u, v)
+
+            @staticmethod
+            def dg_trace(th, m, *, cache=None):
+                return jnp.einsum("...dab,...ba->...d",
+                                  _HyperManifold._dg(th, cache), m)
+
+            @staticmethod
+            def dg_dotted(th, m, *, cache=None):
+                return jnp.einsum("...ia,...eab,...be->...i", m,
+                                  _HyperManifold._dg(th, cache), m)
+
+            @staticmethod
+            def manifold_state(th):
+                g = _geom(th, "full")
+                return ManifoldState(g["logp"], g["grad"], g["metric"], g["dg"])
+
+        return _HyperManifold()
+
+    def _hyper_manifold_autodiff(self, x: Array, _batched):
+        """jacfwd-based oracle (the round-2 implementation)."""
+        from riemannhamiltonianmontecarlo_tpu.models.base import autodiff_manifold
+        from riemannhamiltonianmontecarlo_tpu.models.logreg import ManifoldState
+
+        model = self
 
         class _Hyper:
             dim = 2

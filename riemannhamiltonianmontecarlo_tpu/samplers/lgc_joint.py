@@ -189,7 +189,10 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
             h_new, h_info = hyper_kernel.step(k_hyper, h_state)
         else:
             hyper_kernel = rmhmc_mod.build(hyper_model, hyper_cfg)
-            h_state = rmhmc_mod.RMHMCState(state.theta, hyper_model.logp(state.theta))
+            # init() computes the full fused geometry once; step() reuses it
+            # via the state's geo cache (one O(D^3) pass saved per joint
+            # step vs seeding the state with a bare logp call).
+            h_state = hyper_kernel.init(state.theta)
             h_new, h_info = hyper_kernel.step(k_hyper, h_state)
         theta = h_new.position
 

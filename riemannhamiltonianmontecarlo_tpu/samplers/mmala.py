@@ -51,7 +51,7 @@ class MMALAState(NamedTuple):
     logp: Array  # (C,)
     mean: Array  # (C, D) drift mean at the current position
     metric: Array  # (C, D, D) G(w)
-    inv_chol: Array  # (C, D, D) triangular factor A of G^{-1} = A A^T (= chol(G)^{-T})
+    cov_factor: Array  # (C, D, D) UPPER-triangular A with A A^T = G^{-1} (= chol(G)^{-T}); NOT a lower Cholesky factor -- all consumers are factor-agnostic
 
 
 def build(model, config: MMALAConfig = MMALAConfig()) -> Kernel:
@@ -73,49 +73,49 @@ def build(model, config: MMALAConfig = MMALAConfig()) -> Kernel:
         linv = ops.solve_lower_triangular(
             chol_g, jnp.broadcast_to(jnp.eye(g.shape[-1], dtype=g.dtype), g.shape)
         )
-        inv_chol = jnp.swapaxes(linv, -1, -2)
+        cov_factor = jnp.swapaxes(linv, -1, -2)
         first = ops.cho_solve(chol_g, ms.grad)
         mean = w + 0.5 * eps * first
         if not config.simplified:
-            inv_g = jnp.matmul(inv_chol, linv, precision=_PREC)
+            inv_g = jnp.matmul(cov_factor, linv, precision=_PREC)
             second = model.dg_dotted(w, inv_g, cache=ms.cache)
             trace_vec = model.dg_trace(w, inv_g, cache=ms.cache)
             third = ops.cho_solve(chol_g, trace_vec)
             mean = mean - eps * second + 0.5 * eps * third
-        return ms.logp, mean, g, inv_chol
+        return ms.logp, mean, g, cov_factor
 
-    def log_q(mean: Array, x: Array, g: Array, inv_chol: Array) -> Array:
+    def log_q(mean: Array, x: Array, g: Array, cov_factor: Array) -> Array:
         """log N(x; mean, eps G^{-1}) up to the 2 pi constant."""
         delta = mean - x
         quad = jnp.einsum("...a,...ab,...b->...", delta, g, delta, precision=_PREC) / eps
         d = x.shape[-1]
         half_logdet = jnp.sum(
-            jnp.log(jnp.diagonal(inv_chol, axis1=-2, axis2=-1)), axis=-1
+            jnp.log(jnp.diagonal(cov_factor, axis1=-2, axis2=-1)), axis=-1
         ) + 0.5 * d * jnp.log(eps)
         return -half_logdet - 0.5 * quad
 
     def init(position: Array) -> MMALAState:
-        logp, mean, g, inv_chol = geometry(position)
-        return MMALAState(position, logp, mean, g, inv_chol)
+        logp, mean, g, cov_factor = geometry(position)
+        return MMALAState(position, logp, mean, g, cov_factor)
 
     def step(key: Array, state: MMALAState) -> tuple[MMALAState, Info]:
         k_prop, k_acc = jax.random.split(key)
-        noise = ops.mvn_sample(k_prop, state.inv_chol) * jnp.sqrt(
+        noise = ops.mvn_sample(k_prop, state.cov_factor) * jnp.sqrt(
             jnp.asarray(eps, state.position.dtype)
         )
         w_new = state.mean + noise
 
-        logp_new, mean_new, g_new, inv_chol_new = geometry(w_new)
+        logp_new, mean_new, g_new, cov_factor_new = geometry(w_new)
 
-        log_q_fwd = log_q(state.mean, w_new, state.metric, state.inv_chol)
-        log_q_rev = log_q(mean_new, state.position, g_new, inv_chol_new)
+        log_q_fwd = log_q(state.mean, w_new, state.metric, state.cov_factor)
+        log_q_rev = log_q(mean_new, state.position, g_new, cov_factor_new)
 
         ratio = logp_new + log_q_rev - state.logp - log_q_fwd
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(w_new), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
         new_state = tree_where(
             accept,
-            MMALAState(w_new, logp_new, mean_new, g_new, inv_chol_new),
+            MMALAState(w_new, logp_new, mean_new, g_new, cov_factor_new),
             state,
         )
         return new_state, Info(accept_prob, accept, divergent)

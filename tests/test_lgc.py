@@ -241,3 +241,63 @@ def test_lgc_joint_hyper_geometry():
     # batched matches single
     gb = hm.metric(jnp.stack([th, th]))
     np.testing.assert_allclose(np.asarray(gb)[0], metric, rtol=1e-5)
+
+
+def test_lgc_joint_closed_form_matches_autodiff_oracle():
+    """The fused closed-form hyper geometry (one Cholesky + solves + one
+    matmul; models/lgc.py::_hyper_geom_single) must match the jacfwd
+    oracle (the round-2 implementation) at every part: logp, grad,
+    metric, and the full dG tensor."""
+    from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data
+
+    y, _ = generate_data(seed=9, n=8)
+    model = LGCJointModel(y, n=8)
+    x = jnp.asarray(generate_data(seed=10, n=8)[1], jnp.float32)
+    fast = model.hyper_manifold(x)
+    slow = model.hyper_manifold(x, use_autodiff=True)
+    ths = jnp.asarray(
+        [[np.log(1.91), np.log(1 / 33.0)], [0.2, -3.0], [1.0, -4.0]], jnp.float32
+    )
+    np.testing.assert_allclose(fast.logp(ths), slow.logp(ths), rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(fast.grad(ths), slow.grad(ths), rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(fast.metric(ths), slow.metric(ths), rtol=5e-3, atol=5e-2)
+    np.testing.assert_allclose(
+        fast.dg_cache(ths), slow.dg_cache(ths), rtol=2e-2, atol=0.3
+    )
+    # contraction plumbing agrees too
+    m = jnp.linalg.inv(fast.metric(ths))
+    np.testing.assert_allclose(
+        fast.dg_trace(ths, m), slow.dg_trace(ths, m), rtol=2e-2, atol=0.3
+    )
+
+
+def test_lgc_joint_hyper_conditional_concentrates():
+    """Known-truth concentration (VERDICT round-2 item 7): with the
+    latents frozen at the GENERATING field of a larger grid, the
+    theta | x posterior must concentrate near the generating
+    (sigma^2, beta) = (1.91, 1/33) -- within a few posterior SDs, not
+    the round-2 test's 0.1 < sigma^2 < 20 sanity box."""
+    from riemannhamiltonianmontecarlo_tpu.models.lgc import LGCJointModel, generate_data
+    from riemannhamiltonianmontecarlo_tpu.samplers import lgc_joint
+
+    n = 16
+    y, x_true = generate_data(seed=3, n=n)
+    model = LGCJointModel(y, n=n)
+    cfg = lgc_joint.LGCJointConfig(
+        latent_num_leapfrog=1, latent_step_size=1e-8,
+        latent_init=jnp.asarray(x_true, jnp.float32))
+    kernel = lgc_joint.build(model, cfg)
+    init = jnp.tile(jnp.asarray([1.91, 1.0 / 33.0], jnp.float32), (4, 1))
+    res = run(kernel, jax.random.key(13), init, num_samples=400, burn_in=200,
+              collect_fn=lambda st: st.theta)
+    th = np.asarray(res.samples).reshape(-1, 2)
+    assert np.isfinite(th).all()
+    mean, sd = th.mean(0), th.std(0)
+    # D=256 observations of the GP field pin (sigma^2, beta) tightly; the
+    # posterior mean must sit within ~4 posterior SDs of the generating
+    # values in log-coordinates (MC error of the mean is ~sd/sqrt(ESS)).
+    target = np.log([1.91, 1 / 33.0])
+    assert np.all(np.abs(mean - target) < 4.0 * sd + 0.05), (mean, sd, target)
+    # and the posterior is actually informative, not the prior: the
+    # Gamma(2, 0.5) prior sd of log sigma^2 is ~0.8
+    assert np.all(sd < 0.5), sd

@@ -24,12 +24,11 @@ def timeit(kernel, init, steps, seg=None):
         warm = parallel.run(kernel, k, init, num_samples=2, collect=False)
         jax.block_until_ready(jax.tree.leaves(warm.final_state)[0])
         t0 = time.perf_counter()
-        res = parallel.run(kernel, k, None, num_samples=steps, collect=False,
-                           init_state=warm.final_state)
+        res = parallel.run(kernel, jax.random.fold_in(k, 1), None, num_samples=steps,
+                           collect=False, init_state=warm.final_state)
         jax.block_until_ready(jax.tree.leaves(res.final_state)[0])
         return time.perf_counter() - t0
     # segmented (bounded device programs for the tunneled backend)
-    state = None
     warm = parallel.run(kernel, k, init, num_samples=seg, collect=False)
     state = warm.final_state
     jax.block_until_ready(jax.tree.leaves(state)[0])
