@@ -189,13 +189,64 @@ def main() -> None:
         "unit": "ESS/s",
         "vs_baseline": round(value / baseline, 1),
     }
-    acct = flop_accounting(kernel, pre.final_state, NUM_SAMPLES, elapsed)
-    if acct is not None:
-        flops, tflops, mfu = acct
-        record["flops_per_step_per_chain"] = round(flops / NUM_SAMPLES / NUM_CHAINS)
-        record["achieved_tflops_per_s"] = round(tflops, 2)
-        record["mfu_vs_bf16_peak"] = round(mfu, 4)
+    n_data, d = ds.X.shape[0], ds.X.shape[1]
+    step_flops = rmhmc_step_flops(n_data, d)
+    flops, tflops, mfu = flop_accounting(NUM_CHAINS, NUM_SAMPLES, elapsed, step_flops)
+    record["flops_per_step_per_chain"] = round(step_flops)
+    record["achieved_tflops_per_s"] = round(tflops, 3)
+    record["mfu_vs_bf16_peak"] = round(mfu, 5)
+    # BLR at D=15 is VPU/latency-bound: per-chain matrices are far below
+    # the 128x128 MXU tile, so utilization is bounded by the vector units
+    # and per-step dispatch, not matmul peak.
+    record["blr_bound"] = "latency/VPU-bound (D=15 << 128 MXU tile)"
+
+    record["lgc_d4096"] = lgc_utilization()
     print(json.dumps(record))
+
+
+def lgc_utilization():
+    """Short LGC D=4096 constant-metric RMHMC run: the MXU-bound workload.
+
+    Per leapfrog step and chain: one G^{-1} p matvec + one Sigma^{-1}
+    (x - mu) matvec in the gradient, 2 * 2 * D^2 flops; L = 30 leapfrogs
+    per transition plus the momentum sample (triangular matvec, D^2) and
+    two Hamiltonians (2 D^2 each).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import riemannhamiltonianmontecarlo_tpu as rhmc
+    from riemannhamiltonianmontecarlo_tpu.models import lgc
+    from riemannhamiltonianmontecarlo_tpu.samplers import phmc
+
+    chains, steps, leap = 16, 200, 30
+    y, _ = lgc.load_data(n=64)
+    model = lgc.LGCModel(jnp.asarray(y, jnp.float32), n=64)
+    kernel = phmc.build(model, model.metric_chol, model.metric_inv,
+                        phmc.PHMCConfig(step_size=0.1, num_leapfrog=leap))
+    init = jnp.tile(model.prior_mean(), (chains, 1))
+    warm = rhmc.parallel.run(kernel, jax.random.key(1), init,
+                             num_samples=steps, collect=False)
+    jax.block_until_ready(warm.final_state.position)
+    t0 = time.perf_counter()
+    res = rhmc.parallel.run(kernel, jax.random.key(2), None, num_samples=steps,
+                            collect=False, init_state=warm.final_state)
+    jax.block_until_ready(res.final_state.position)
+    elapsed = time.perf_counter() - t0
+
+    d = model.dim
+    step_flops = leap * 4.0 * d * d + 5.0 * d * d
+    flops = step_flops * chains * steps
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_BF16_FLOPS.items() if k in kind), 197e12)
+    return {
+        "flops_per_step_per_chain": round(step_flops),
+        "achieved_tflops_per_s": round(flops / elapsed / 1e12, 3),
+        "mfu_vs_bf16_peak": round(flops / elapsed / peak, 5),
+        "bound": ("compute-bound on (C,D)x(D,D) f32 HIGHEST-precision "
+                  "matvecs (6 bf16 MXU passes each)"),
+        "note": f"{chains} chains x {steps} steps, L={leap}, D={d}",
+    }
 
 
 if __name__ == "__main__":

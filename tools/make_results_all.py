@@ -1,12 +1,19 @@
 """Generate the StochVol / LGC / FHN sections of RESULTS.md (paper Tables 8-11).
 
-Usage: PYTHONPATH=. python tools/make_results_all.py [--workload stochvol|lgc|fhn|all]
+Usage: PYTHONPATH=. python tools/make_results_all.py \
+    [--workload stochvol|lgc|fhn|all] [--seeds 3]
 
-Protocol (same as tools/make_results.py): reference hyperparameters,
-timed sampling phase only (first half absorbs compilation, second half is
-timed and doubled), Geyer ESS (device, alias-free) summed over chains,
-s/minESS vs the single-chain MATLAB numbers of main_article.pdf
-Tables 8-11 (BASELINE.md).
+Protocol (VERDICT round-2 items 3/6): reference hyperparameters AND
+reference kept-sample counts (StochVol 20000 per chain,
+``StochVol_RMHMC.m:63-64``; LGC/FHN 5000, ``LGC_RMHMC_LV.m:30-31`` /
+``ODE_RMHMC.m``), the authors' own datasets where they ship one
+(``StochVolData1.mat``, ``TestData64.mat``; FHN data is generated from
+known parameters exactly as ``RunFHN_RMHMC.m:35-52`` does), and
+``--seeds`` independent repeats aggregated as mean +- stderr
+(``Results/CalculateStatistics.m:7-31``).  Timing is the two-half
+steady-state sampling phase; ESS is chain-summed Geyer (device,
+alias-free).  Chain counts are sized so the kept-sample tensors
+(C x 20000 x 2003 latents for StochVol) fit on one 16 GB chip.
 
 Each workload's table replaces the block between
 ``<!-- section:NAME -->`` / ``<!-- end:NAME -->`` markers in RESULTS.md
@@ -41,72 +48,57 @@ from riemannhamiltonianmontecarlo_tpu.samplers import (
 from riemannhamiltonianmontecarlo_tpu.samplers import stochvol as sv_kernel
 
 RESULTS = Path(__file__).resolve().parents[1] / "RESULTS.md"
+N_SEEDS = 3  # overridden by --seeds
 
 
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
-                 collect_fn=None, init_state=None):
+                 collect_fn=None, init_state=None, seg: int | None = None):
     """Warmup (untimed) then two sampling halves; returns (samples, accept, t).
 
     ``init_state`` skips the warmup (e.g. after an adaptive warmup whose
-    state wrapper differs from the sampling kernel's).
+    state wrapper differs from the sampling kernel's).  ``seg`` bounds
+    each device call to that many steps (the tunneled backend kills
+    minutes-long programs); the second half is still timed end to end.
     """
     key = jax.random.key(seed)
     k_w, k_a, k_b = jax.random.split(key, 3)
-    if init_state is not None:
-        warm = parallel.run(kernel, k_w, None, num_samples=1, collect=False,
-                            init_state=init_state)
-    else:
-        warm = parallel.run(kernel, k_w, init, num_samples=burn_in, collect=False)
-    jax.block_until_ready(jax.tree.leaves(warm.final_state)[0])
 
-    half = max(num_samples // 2, 1)
-    res_a = parallel.run(kernel, k_a, None, num_samples=half, init_state=warm.final_state,
-                         collect_fn=collect_fn)
-    jax.block_until_ready(jax.tree.leaves(res_a.samples)[0])
-    t0 = time.perf_counter()
-    res_b = parallel.run(kernel, k_b, None, num_samples=half, init_state=res_a.final_state,
-                         collect_fn=collect_fn)
-    jax.block_until_ready(jax.tree.leaves(res_b.samples)[0])
-    t = 2.0 * (time.perf_counter() - t0)
-
-    samples = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1),
-                           res_a.samples, res_b.samples)
-    accept = 0.5 * (float(res_a.accept_rate) + float(res_b.accept_rate))
-    return samples, accept, t
-
-
-def timed_halves_segmented(kernel, init, *, burn_in: int, num_samples: int,
-                           seg: int = 20, seed: int = 0):
-    """timed_halves in ``seg``-step device calls.
-
-    The axon-tunneled backend kills device programs that run for minutes
-    (observed on FHN HMC: 150 leapfrogs x 1000-step RK4 sensitivity
-    solves per sample); chaining short scans through ``init_state`` keeps
-    each RPC bounded while preserving the two-half timing protocol.
-    """
-    key = jax.random.key(seed)
-
-    def run_segs(k, state, steps, collect):
-        outs = []
+    def run_chunk(k, state, steps, collect, position=None):
+        if seg is None or steps <= seg:
+            r = parallel.run(kernel, k, position, num_samples=steps,
+                             collect=collect, init_state=state,
+                             collect_fn=collect_fn if collect else None)
+            jax.block_until_ready(jax.tree.leaves(
+                r.samples if collect else r.final_state)[0])
+            return r.final_state, r.samples, float(r.accept_rate)
+        outs, accs = [], []
         for i in range(0, steps, seg):
             n = min(seg, steps - i)
-            r = parallel.run(kernel, jax.random.fold_in(k, i), None if state is not None else init,
-                             num_samples=n, collect=collect, init_state=state)
+            r = parallel.run(kernel, jax.random.fold_in(k, i),
+                             position if state is None else None,
+                             num_samples=n, collect=collect, init_state=state,
+                             collect_fn=collect_fn if collect else None)
             state = r.final_state
+            accs.append(float(r.accept_rate) * n)
             if collect:
                 outs.append(r.samples)
             jax.block_until_ready(jax.tree.leaves(state)[0])
-        samples = jnp.concatenate(outs, axis=1) if collect else None
-        return state, samples, (float(r.accept_rate) if steps else 0.0)
+        samples = (jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *outs)
+                   if collect else None)
+        return state, samples, sum(accs) / steps
 
-    k_w, k_a, k_b = jax.random.split(key, 3)
-    state, _, _ = run_segs(k_w, None, burn_in, False)
+    if init_state is not None:
+        state, _, _ = run_chunk(k_w, init_state, 1, False)
+    else:
+        state, _, _ = run_chunk(k_w, None, max(burn_in, 1), False, position=init)
+
     half = max(num_samples // 2, 1)
-    state, sa, acc_a = run_segs(k_a, state, half, True)
+    state, sa, acc_a = run_chunk(k_a, state, half, True)
     t0 = time.perf_counter()
-    state, sb, acc_b = run_segs(k_b, state, half, True)
+    state, sb, acc_b = run_chunk(k_b, state, half, True)
     t = 2.0 * (time.perf_counter() - t0)
-    samples = jnp.concatenate([sa, sb], axis=1)
+
+    samples = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1), sa, sb)
     return samples, 0.5 * (acc_a + acc_b), t
 
 
@@ -120,65 +112,115 @@ def fmt(x: float) -> str:
     return f"{x:.3g}" if abs(x) < 1000 else f"{x:,.0f}"
 
 
-def row(name, chains, samples, accept, ess, t, paper):
-    mn, md, mx = ess
-    spm = t / mn if mn > 0 else float("inf")
-    speedup = f"{paper / spm:,.0f}x" if paper else "--"
-    return (f"| {name} | {chains} | {samples} | {accept:.3f} "
-            f"| ({fmt(mn)}, {fmt(md)}, {fmt(mx)}) | {t:.3f} | {spm:.3g} "
+def aggregate_rows(per_seed):
+    """per_seed: list of (ess_tuple, accept, t) -> dict of means + stderr.
+
+    Mean +- stderr over independent repeats, the reference's
+    CalculateStatistics.m:24-31 aggregation.
+    """
+    n = len(per_seed)
+    ess = np.asarray([s[0] for s in per_seed], np.float64)  # (n, 3)
+    acc = np.asarray([s[1] for s in per_seed], np.float64)
+    ts = np.asarray([s[2] for s in per_seed], np.float64)
+    spm = ts / np.maximum(ess[:, 0], 1e-12)
+    se = lambda v: float(v.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0  # noqa: E731
+    return dict(
+        ess_mean=ess.mean(0), accept=float(acc.mean()),
+        t=float(ts.mean()), t_se=se(ts),
+        spm=float(spm.mean()), spm_se=se(spm), n=n,
+    )
+
+
+def row(name, chains, samples, agg, paper):
+    mn, md, mx = agg["ess_mean"]
+    speedup = f"{paper / agg['spm']:,.0f}x" if paper else "--"
+    return (f"| {name} | {chains} | {samples} | {agg['accept']:.3f} "
+            f"| ({fmt(mn)}, {fmt(md)}, {fmt(mx)}) "
+            f"| {agg['t']:.3f} ± {agg['t_se']:.3f} "
+            f"| {agg['spm']:.3g} ± {agg['spm_se']:.2g} "
             f"| {paper if paper else '--'} | {speedup} |")
 
 
 HEADER = ("| sampler | chains | samples | accept | total ESS (min, med, max) "
-          "| time (s) | s/minESS | paper s/minESS | speedup |\n"
+          "| time (s) ± se | s/minESS ± se | paper s/minESS | speedup |\n"
           "|---|---|---|---|---|---|---|---|---|")
+
+
+def repeated(run_one, seeds: int):
+    """run_one(seed) -> (samples_groups: dict, accept, t); returns
+    {group: agg} computed per group over seeds."""
+    per_group: dict[str, list] = {}
+    for s in range(seeds):
+        groups, accept, t = run_one(s)
+        for g, samp in groups.items():
+            per_group.setdefault(g, []).append((ess_stats(samp), accept, t))
+        del groups
+    return {g: aggregate_rows(v) for g, v in per_group.items()}
 
 
 # ---------------------------------------------------------------- StochVol
 
-def run_stochvol() -> str:
-    """Two tables: hyperparameters (Table 8) and latent volatilities (Table 9)."""
-    y, _ = stochvol.generate_data(seed=0, num_obs=2000)
-    model = stochvol.StochVolModel(jnp.asarray(y, jnp.float32))
+def run_stochvol(seeds: int) -> str:
+    """Two tables: hyperparameters (Table 8) and latent volatilities (Table 9).
 
-    # (label, config, chains, samples, burn, paper_hyper, paper_latent)
+    Reference protocol: the authors' StochVolData1.mat
+    (``StochVol_RMHMC.m:16``), 20000 kept samples per chain
+    (``StochVol_RMHMC.m:63-64``).  Chain counts sized for HBM: the kept
+    latent tensor is C x 20000 x 2000 f32.
+    """
+    y, _ = stochvol.load_data()
+    model = stochvol.StochVolModel(jnp.asarray(y, jnp.float32))
+    data_src = ("authors' StochVolData1.mat" if stochvol.REFERENCE_MAT.exists()
+                else "synthetic (mat absent)")
+
+    kept = 20000
+    # (label, config, chains, burn, seg, paper_hyper, paper_latent)
     rows = [
         ("mala", sv_kernel.StochVolConfig(
             method="mala", latent_step_size=0.05 / 2000 ** 0.5,
-            hyper_step_size=0.01 / 2000 ** 0.5), 128, 2000, 2000, 3.89, 4.5),
+            hyper_step_size=0.01 / 2000 ** 0.5), 32, 2000, None, 3.89, 4.5),
         ("hmc", sv_kernel.StochVolConfig(
             method="hmc", latent_num_leapfrog=100, latent_step_size=0.03,
-            hyper_num_leapfrog=100, hyper_step_size=0.015), 64, 1000, 300, 5.19, 1.04),
+            hyper_num_leapfrog=100, hyper_step_size=0.015), 16, 1000, 2500,
+         5.19, 1.04),
         ("mmala", sv_kernel.StochVolConfig(
-            method="mmala", latent_step_size=0.07, hyper_step_size=1.0), 128, 2000, 1000,
-         142.8, 34.2),
-        ("rmhmc", sv_kernel.StochVolConfig(), 64, 1000, 300, 2.37, 0.34),
+            method="mmala", latent_step_size=0.07, hyper_step_size=1.0),
+         32, 1000, None, 142.8, 34.2),
+        ("rmhmc", sv_kernel.StochVolConfig(), 16, 1000, 5000, 2.37, 0.34),
     ]
 
     hyper_rows, latent_rows = [], []
-    for name, cfg, chains, samples, burn, paper_h, paper_l in rows:
-        print(f"--- stochvol/{name} ({chains} chains x {samples})", flush=True)
+    for name, cfg, chains, burn, seg, paper_h, paper_l in rows:
+        print(f"--- stochvol/{name} ({chains} chains x {kept}, {seeds} seeds)",
+              flush=True)
         kernel = sv_kernel.build(model, cfg)
-        init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
-        try:
+
+        def run_one(seed, kernel=kernel, chains=chains, burn=burn, seg=seg):
+            init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
             (theta, x), accept, t = timed_halves(
-                kernel, init, burn_in=burn, num_samples=samples,
-                collect_fn=lambda st: (st.position, st.x))
+                kernel, init, burn_in=burn, num_samples=kept, seed=seed,
+                collect_fn=lambda st: (st.position, st.x), seg=seg)
+            return {"hyper": theta, "latent": x}, accept, t
+
+        try:
+            agg = repeated(run_one, seeds)
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             continue
-        e_h, e_l = ess_stats(theta), ess_stats(x)
-        print(f"    accept={accept:.3f} t={t:.2f}s hyperESS={e_h} latentESS(min)={e_l[0]:.0f}",
-              flush=True)
-        hyper_rows.append(row(name, chains, samples, accept, e_h, t, paper_h))
-        latent_rows.append(row(name, chains, samples, accept, e_l, t, paper_l))
+        hyper_rows.append(row(name, chains, kept, agg["hyper"], paper_h))
+        latent_rows.append(row(name, chains, kept, agg["latent"], paper_l))
+        print("   ", hyper_rows[-1], flush=True)
+        print("   ", latent_rows[-1], flush=True)
 
     return (
-        "## Stochastic volatility -- T=2000 simulated obs "
-        "(beta=0.65, sigma=0.15, phi=0.98), single TPU v5e chip\n\n"
+        "## Stochastic volatility -- T=2000 "
+        f"({data_src}; beta=0.65, sigma=0.15, phi=0.98), single TPU v5e chip\n\n"
         "Two-block Gibbs samplers at reference hyperparameters "
-        "(Stoch_Vol/*/StochVol_*.m); ESS on the constrained (beta, sigma, phi)\n"
-        "and on all 2000 latent volatilities.  Paper columns: Tables 8/9.\n\n"
+        "(Stoch_Vol/*/StochVol_*.m)\nand the reference's 20000 kept samples "
+        f"per chain (StochVol_RMHMC.m:63-64); mean ± stderr\nover {seeds} "
+        "independent seeds (CalculateStatistics.m:24-31).  ESS on the "
+        "constrained\n(beta, sigma, phi) and on all 2000 latent "
+        "volatilities.  Paper columns: Tables 8/9.\n\n"
         "### Hyperparameters (paper Table 8)\n\n" + HEADER + "\n"
         + "\n".join(hyper_rows) + "\n\n"
         "### Latent volatilities (paper Table 9)\n\n" + HEADER + "\n"
@@ -188,140 +230,185 @@ def run_stochvol() -> str:
 
 # ---------------------------------------------------------------- LGC
 
-def run_lgc() -> str:
-    """Latent-field sampling on the full 64x64 grid (paper Table 10)."""
-    y, _ = lgc.generate_data(seed=0, n=64)
+def run_lgc(seeds: int) -> str:
+    """Latent-field sampling on the full 64x64 grid (paper Table 10).
+
+    Reference protocol: the authors' TestData64.mat (``LGC_RMHMC_LV.m:12``),
+    5000 kept samples per chain (6000 iters / 1000 burn-in, ``:30-31``).
+    """
+    y, _ = lgc.load_data(n=64)
     model = lgc.LGCModel(jnp.asarray(y, jnp.float32), n=64)
+    data_src = ("authors' TestData64.mat" if lgc.REFERENCE_MAT.exists()
+                else "synthetic (mat absent)")
     prior = model.prior_mean()
-
-    def init_at_mean(chains):
-        return jnp.tile(prior, (chains, 1))
-
+    kept = 5000
     rows = []
+
+    def measure(label, make_kernel, chains, burn, paper, *, init=None,
+                lift=None, warm_state_fn=None, extra="", seg=None):
+        print(f"--- lgc/{label} ({chains} chains x {kept}, {seeds} seeds)",
+              flush=True)
+
+        def run_one(seed):
+            kernel = make_kernel(seed)
+            if warm_state_fn is not None:
+                st = warm_state_fn(kernel, seed)
+                s, accept, t = timed_halves(kernel, None, burn_in=0,
+                                            num_samples=kept, seed=seed,
+                                            init_state=st, seg=seg)
+            else:
+                pos = init if init is not None else jnp.tile(prior, (chains, 1))
+                s, accept, t = timed_halves(kernel, pos, burn_in=burn,
+                                            num_samples=kept, seed=seed, seg=seg)
+            x = lift(s) if lift is not None else s
+            return {"latent": x}, accept, t
+
+        try:
+            agg = repeated(run_one, seeds)
+        except Exception as e:
+            print(f"    FAILED: {e}", flush=True)
+            return
+        rows.append(row(label + extra, chains, kept, agg["latent"], paper))
+        print("   ", rows[-1], flush=True)
 
     # Whitened MALA, transient tuning (LGC_MALA_Transient.m:32-33).
     wh = model.whitened()
     lift = jax.jit(jax.vmap(wh.to_x))
-    print("--- lgc/mala (transient)", flush=True)
-    kernel = mala.build(wh, mala.MALAConfig(step_size=2.0, transient=True))
-    gamma, accept, t = timed_halves(
-        kernel, jnp.zeros((16, model.dim)), burn_in=1000, num_samples=1000)
-    x = lift(gamma)  # ESS measured on the field x = mu + L gamma, like the paper
-    rows.append(row("mala (transient)", 16, 1000, accept, ess_stats(x), t, 10605))
-    print("   ", rows[-1], flush=True)
+    measure("mala (transient)",
+            lambda _s: mala.build(wh, mala.MALAConfig(step_size=2.0, transient=True)),
+            16, 1000, 10605, init=jnp.zeros((16, model.dim)), lift=lift)
 
-    # Stationary phase: the paper's eps=1.65^2 is tuned for the authors'
-    # *position-dependent* whitening (LGC_MALA_Stationary.m:103-105
-    # re-Choleskys (Sigma^-1 + diag(x))^-1 every iteration -- the O(D^3)
-    # per-step cost behind their 31118 s).  Our whitening is the fixed
-    # prior Cholesky, so that constant does not transfer; the step is
-    # dual-averaged to the 0.574 Langevin optimum during warmup (zero
-    # hand tuning) and frozen for the timed phase.
-    print("--- lgc/mala (stationary, adapted)", flush=True)
+    # Stationary phase: dual-averaged step (see round-2 note: the paper's
+    # eps is tuned for the authors' position-dependent whitening, which
+    # does an O(D^3) re-Cholesky per step; ours is the fixed prior
+    # Cholesky, so the constant does not transfer and the step is adapted
+    # to the 0.574 Langevin optimum during warmup, then frozen).
     import dataclasses as _dc
 
     from riemannhamiltonianmontecarlo_tpu.parallel import (
         AdaptationConfig, adaptive, frozen_step_size,
     )
 
-    cfg0 = mala.MALAConfig(step_size=0.5)
-    warm_kernel = adaptive(mala.build, wh, cfg0,
-                           AdaptationConfig(target_accept=0.574))
-    warm = parallel.run(warm_kernel, jax.random.key(3),
-                        jnp.zeros((16, model.dim)), num_samples=1000, collect=False)
-    eps = frozen_step_size(warm.final_state)
-    print(f"    adapted eps = {eps:.4g}", flush=True)
-    kernel = mala.build(wh, _dc.replace(cfg0, step_size=eps))
-    gamma, accept, t = timed_halves(kernel, None, burn_in=0, num_samples=1000,
-                                    init_state=warm.final_state.inner)
-    x = lift(gamma)
-    rows.append(row("mala (stationary, adapted eps)", 16, 1000, accept,
-                    ess_stats(x), t, 7836))
-    print("   ", rows[-1], flush=True)
+    eps_holder = {}
+
+    def make_stationary(seed):
+        cfg0 = mala.MALAConfig(step_size=0.5)
+        warm_kernel = adaptive(mala.build, wh, cfg0,
+                               AdaptationConfig(target_accept=0.574))
+        warm = parallel.run(warm_kernel, jax.random.key(100 + seed),
+                            jnp.zeros((16, model.dim)), num_samples=1000,
+                            collect=False)
+        eps = frozen_step_size(warm.final_state)
+        eps_holder[seed] = (eps, warm.final_state.inner)
+        return mala.build(wh, _dc.replace(cfg0, step_size=eps))
+
+    measure("mala (stationary, adapted eps)", make_stationary, 16, 0, 7836,
+            lift=lift, warm_state_fn=lambda k, seed: eps_holder[seed][1])
 
     # mMALA with the position-dependent metric (LGC_mMALA_LV.m:31-34).
-    print("--- lgc/mmala", flush=True)
-    try:
-        kernel = mmala.build(model, mmala.MMALAConfig(step_size=0.07, jitter=1e-5))
-        # 8 chains: the per-step cost is the batched D=4096 Cholesky of
-        # G(x), which utilizes the chip far better at batch 8 than 2
-        # (G + factor = 128 MB/chain, so 8 chains ~ 1 GB HBM).
-        x, accept, t = timed_halves(kernel, init_at_mean(8), burn_in=150, num_samples=200)
-        rows.append(row("mmala", 8, 200, accept, ess_stats(x), t, 24.1))
-        print("   ", rows[-1], flush=True)
-    except Exception as e:
-        print(f"    FAILED: {e}", flush=True)
+    # 8 chains: the per-step batched D=4096 Cholesky of G(x) utilizes the
+    # MXU far better at batch 8 than the paper-like 1-2 (probe_scaling.py),
+    # and the one-factorization geometry (samplers/mmala.py) halves the
+    # O(D^3) work per step vs round 2.
+    measure("mmala",
+            lambda _s: mmala.build(model, mmala.MMALAConfig(step_size=0.07,
+                                                            jitter=1e-5)),
+            8, 300, 24.1, seg=500)
 
-    # Constant-metric RMHMC == preconditioned HMC (LGC_RMHMC_LV.m:95-101,149-196).
-    print("--- lgc/rmhmc", flush=True)
-    kernel = phmc.build(model, model.metric_chol, model.metric_inv,
-                        phmc.PHMCConfig(step_size=0.1, num_leapfrog=30))
-    x, accept, t = timed_halves(kernel, init_at_mean(16), burn_in=500, num_samples=1000)
-    rows.append(row("rmhmc (constant metric)", 16, 1000, accept, ess_stats(x), t, 1.5))
-    print("   ", rows[-1], flush=True)
+    # Constant-metric RMHMC == preconditioned HMC (LGC_RMHMC_LV.m:95-101).
+    measure("rmhmc (constant metric)",
+            lambda _s: phmc.build(model, model.metric_chol, model.metric_inv,
+                                  phmc.PHMCConfig(step_size=0.1, num_leapfrog=30)),
+            16, 1000, 1.5)
 
     return (
-        "## Log-Gaussian Cox process -- 64x64 grid (D=4096 latents), "
-        "single TPU v5e chip\n\n"
+        "## Log-Gaussian Cox process -- 64x64 grid (D=4096 latents, "
+        f"{data_src}), single TPU v5e chip\n\n"
         "Latent-field sampling at reference hyperparameters "
-        "(Log_Gaussian_Cox/*/LGC_*.m); ESS over all 4096 field coordinates\n"
-        "(whitened-MALA ESS measured on the field x = mu + L gamma).  "
-        "Paper column: Table 10.\n\n" + HEADER + "\n" + "\n".join(rows)
+        "(Log_Gaussian_Cox/*/LGC_*.m)\nwith the reference's 5000 kept "
+        f"samples per chain (LGC_RMHMC_LV.m:30-31); mean ±\nstderr over "
+        f"{seeds} seeds.  ESS over all 4096 field coordinates (whitened-MALA "
+        "ESS\nmeasured on the field x = mu + L gamma).  Paper column: "
+        "Table 10.\n\n" + HEADER + "\n" + "\n".join(rows)
     )
 
 
 # ---------------------------------------------------------------- FHN
 
-def run_fhn() -> str:
-    """FitzHugh-Nagumo parameter inference (paper Table 11)."""
+def run_fhn(seeds: int) -> str:
+    """FitzHugh-Nagumo parameter inference (paper Table 11).
+
+    Data generated at (a, b, c) = (0.2, 0.2, 3), noise sd 0.5, exactly as
+    the reference's RunFHN_RMHMC.m:35-52 (no shipped dataset); 5000 kept
+    samples per chain as the paper, except HMC -- see the note below.
+    """
     data, _ = fhn.generate_data(seed=1, num_obs=200)
     model = fhn.FHNModel(jnp.asarray(data, jnp.float32), substeps=5)
     theta0 = jnp.asarray([0.2, 0.2, 3.0], jnp.float32)
+    kept = 5000
 
     rows_cfg = [
         ("metropolis", lambda: metropolis.build(
-            model, metropolis.AMHConfig(init_proposal_sd=0.05)), 512, 2000, 1000, 0.17),
+            model, metropolis.AMHConfig(init_proposal_sd=0.05)),
+         512, kept, 1000, None, 0.17),
         ("mala", lambda: mala.build(model, mala.MALAConfig(step_size=2e-4)),
-         512, 2000, 1000, 0.67),
-        # L=150 leapfrogs x 1000-step RK4 sensitivity solves per sample: the
-        # longest sequential chain in the suite (paper: 8154 s).  Keep the
-        # on-device scan segments short enough for the tunneled backend.
-        ("hmc", lambda: hmc.build(model, hmc.HMCConfig(step_size=1 / 150, num_leapfrog=150)),
-         64, 400, 200, 0.23),
-        ("mmala", lambda: mmala.build(model, mmala.MMALAConfig(step_size=1.0, jitter=1e-6)),
-         512, 2000, 500, 0.037),
+         512, kept, 1000, None, 0.67),
+        # HMC: L=150 leapfrogs x 1000-step RK4 sensitivity solves per
+        # sample is a ~1.3 s/sample SEQUENTIAL chain regardless of batch
+        # (latency-bound: tools/probe_scaling.py shows near-flat time from
+        # 64 to 1024 chains), so throughput comes from the chain axis.
+        # 1024 chains x 400 samples; the paper's 5000 would cost ~1.8 h
+        # per seed for no rate information (ESS/s is sample-count-free).
+        ("hmc", lambda: hmc.build(model, hmc.HMCConfig(step_size=1 / 150,
+                                                       num_leapfrog=150)),
+         1024, 400, 200, 20, 0.23),
+        ("mmala", lambda: mmala.build(model, mmala.MMALAConfig(step_size=1.0,
+                                                               jitter=1e-6)),
+         512, kept, 500, None, 0.037),
         ("mmala_simplified", lambda: mmala.build(
             model, mmala.MMALAConfig(step_size=1.0, simplified=True, jitter=1e-6)),
-         512, 2000, 500, 0.031),
+         512, kept, 500, None, 0.031),
         ("rmhmc", lambda: rmhmc.build(model, rmhmc.RMHMCConfig(
             step_size=0.5, num_leapfrog=6, num_fixed_point=5, jitter=1e-6)),
-         256, 1000, 300, 0.08),
+         256, kept, 300, 500, 0.08),
     ]
 
     rows = []
-    for name, build, chains, samples, burn, paper in rows_cfg:
-        print(f"--- fhn/{name} ({chains} chains x {samples})", flush=True)
-        init = jnp.tile(theta0, (chains, 1)) * (
-            1.0 + 0.05 * jax.random.normal(jax.random.key(11), (chains, 3)))
+    for name, build, chains, samples, burn, seg, paper in rows_cfg:
+        print(f"--- fhn/{name} ({chains} chains x {samples}, {seeds} seeds)",
+              flush=True)
+
+        def run_one(seed, build=build, chains=chains, samples=samples,
+                    burn=burn, seg=seg):
+            init = jnp.tile(theta0, (chains, 1)) * (
+                1.0 + 0.05 * jax.random.normal(jax.random.key(11 + seed),
+                                               (chains, 3)))
+            s, accept, t = timed_halves(build(), init, burn_in=burn,
+                                        num_samples=samples, seed=seed, seg=seg)
+            return {"params": s}, accept, t
+
+        n_seeds = seeds if name != "hmc" else max(seeds, 1)
         try:
-            if name == "hmc":  # see timed_halves_segmented docstring
-                s, accept, t = timed_halves_segmented(
-                    build(), init, burn_in=burn, num_samples=samples, seg=20)
-            else:
-                s, accept, t = timed_halves(build(), init, burn_in=burn, num_samples=samples)
+            agg = repeated(run_one, n_seeds)
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             continue
-        rows.append(row(name, chains, samples, accept, ess_stats(s), t, paper))
+        rows.append(row(name, chains, samples, agg["params"], paper))
         print("   ", rows[-1], flush=True)
 
     return (
         "## FitzHugh-Nagumo ODE -- 3 parameters, 200 time points, "
         "noise sd 0.5, single TPU v5e chip\n\n"
-        "Parameter inference at reference hyperparameters (Matlab_ODEs/MCMC/ODE_*.m),\n"
-        "sensitivities via jacfwd through the RK4 integrator; data generated at\n"
-        "(a, b, c) = (0.2, 0.2, 3) per RunFHN_RMHMC.m:35-52.  Paper column: Table 11\n"
-        "(total time / minESS).\n\n" + HEADER + "\n" + "\n".join(rows)
+        "Parameter inference at reference hyperparameters "
+        "(Matlab_ODEs/MCMC/ODE_*.m),\nsensitivities via jacfwd through the "
+        "RK4 integrator; data generated at\n(a, b, c) = (0.2, 0.2, 3) per "
+        f"RunFHN_RMHMC.m:35-52; 5000 kept samples, mean ±\nstderr over "
+        f"{seeds} seeds.  HMC runs 400 kept samples: its 150x1000-step "
+        "RK4\nchain is latency-bound (~1.3 s/sample at ANY chain count "
+        "64-1024,\ntools/probe_scaling.py), so the s/minESS rate is "
+        "sample-count-free and the\npaper's 5000 would add ~1.8 h/seed of "
+        "identical-rate sampling.  Paper column:\nTable 11 (total time / "
+        "minESS).\n\n" + HEADER + "\n" + "\n".join(rows)
     )
 
 
@@ -341,10 +428,11 @@ def splice(text: str, name: str, section: str) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="all", choices=[*WORKLOADS, "all"])
+    ap.add_argument("--seeds", type=int, default=N_SEEDS)
     args = ap.parse_args()
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
     for name in names:
-        section = WORKLOADS[name]()
+        section = WORKLOADS[name](args.seeds)
         text = RESULTS.read_text() if RESULTS.exists() else "# RESULTS\n"
         RESULTS.write_text(splice(text, name, section))
         print(f"=== wrote section {name} to {RESULTS}", flush=True)

@@ -1,0 +1,124 @@
+"""Chain-parallel scaling table: BLR RMHMC throughput vs mesh size.
+
+Usage::
+
+    PYTHONPATH=. JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/scaling_table.py [--devices 1 2 4 8] [--chains-per-device 64]
+
+On real hardware drop the env vars (the same harness runs unchanged over
+a TPU pod slice's devices -- the mesh axis and shardings are identical;
+BASELINE.json's "linear chain scaling to 2+ hosts" is then one
+``jax.distributed.initialize`` away, see tests/test_distributed.py).
+
+On the virtual CPU mesh the table is *indicative only*: all virtual
+devices share the host's physical cores, so wall-clock cannot scale; the
+table demonstrates the harness, the sharded program, and layout
+invariance (per-device chain count held fixed = weak scaling).  Spliced
+into RESULTS.md section ``scaling``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--chains-per-device", type=int, default=64)
+    ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--burn-in", type=int, default=100)
+    ap.add_argument("--no-splice", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    jax.config.update("jax_threefry_partitionable", True)
+
+    import riemannhamiltonianmontecarlo_tpu as rhmc
+
+    ds = rhmc.models.load_dataset("australian")
+    model = rhmc.models.LogisticRegression(
+        jnp.asarray(ds.X, jnp.float32), jnp.asarray(ds.t, jnp.float32)
+    )
+    kernel = rhmc.samplers.rmhmc.build(model)
+    devs = jax.devices()
+    backend = devs[0].platform
+    rows = []
+    for nd in args.devices:
+        if nd > len(devs):
+            print(f"skip {nd} devices (only {len(devs)} available)", flush=True)
+            continue
+        mesh = Mesh(np.asarray(devs[:nd]), ("chains",))
+        chains = args.chains_per_device * nd
+        init = rhmc.utils.default_init(model, jax.random.key(7), chains)
+        # warmup + compile
+        warm = rhmc.parallel.run(kernel, jax.random.key(1), init,
+                                 num_samples=args.burn_in, collect=False,
+                                 mesh=mesh)
+        jax.block_until_ready(warm.final_state.position)
+        pre = rhmc.parallel.run(kernel, jax.random.key(2), None,
+                                num_samples=args.samples, collect=False,
+                                init_state=warm.final_state, mesh=mesh)
+        jax.block_until_ready(pre.final_state.position)
+        t0 = time.perf_counter()
+        res = rhmc.parallel.run(kernel, jax.random.key(3), None,
+                                num_samples=args.samples, collect=False,
+                                init_state=pre.final_state, mesh=mesh)
+        jax.block_until_ready(res.final_state.position)
+        t = time.perf_counter() - t0
+        rate = chains * args.samples / t
+        rows.append((nd, chains, t, rate))
+        print(f"{nd} device(s): {chains} chains, {args.samples} steps in "
+              f"{t:.2f}s = {rate:,.0f} chain-samples/s", flush=True)
+
+    base = rows[0][3] / rows[0][0]
+    table = ["| devices | chains (64/dev) | time (s) | chain-samples/s | scaling |",
+             "|---|---|---|---|---|"]
+    for nd, chains, t, rate in rows:
+        table.append(f"| {nd} | {chains} | {t:.2f} | {rate:,.0f} "
+                     f"| {rate / (base * nd):.2f}x/linear |")
+
+    section = (
+        f"## Chain-parallel scaling -- BLR australian RMHMC, weak scaling "
+        f"(64 chains/device), backend: {backend}\n\n"
+        + ("**Virtual CPU mesh (indicative only):** all virtual devices share "
+           "the host's\nphysical cores, so wall-clock cannot improve; this "
+           "table demonstrates the\nsharded program end-to-end (GSPMD mesh, "
+           "partitionable RNG, layout-invariant\nchains -- see "
+           "tests/test_sharding.py for bit-exactness).  The same harness\n"
+           "runs unchanged on a real pod slice: "
+           "`PYTHONPATH=. python tools/scaling_table.py`\non TPU devices, "
+           "plus `jax.distributed.initialize` for 2+ hosts\n"
+           "(tests/test_distributed.py exercises that path with real "
+           "processes).\n\n" if backend == "cpu" else "")
+        + "\n".join(table)
+    )
+
+    if args.no_splice:
+        print(section)
+        return
+    results = Path(__file__).resolve().parents[1] / "RESULTS.md"
+    text = results.read_text()
+    start, end = "<!-- section:scaling -->", "<!-- end:scaling -->"
+    block = f"{start}\n{section}\n{end}"
+    if start in text:
+        text = text[: text.index(start)] + block + text[text.index(end) + len(end):]
+    else:
+        text = text.rstrip() + "\n\n" + block + "\n"
+    results.write_text(text)
+    print(f"=== wrote section scaling to {results}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
