@@ -176,8 +176,12 @@ def main() -> None:
         kernel = lgc_joint.build(model, cfg)
 
         if args.calibrate:
+            # Both passes use the SAME num_samples: _scan_phase jits on the
+            # static step count, so a different count in the timed pass
+            # would measure a fresh XLA compile (~2 min at D=4096), not the
+            # step (the round-3 "30 s/step" artifact).
             t0 = time.perf_counter()
-            r = parallel.run(kernel, jax.random.key(0), init, num_samples=2,
+            r = parallel.run(kernel, jax.random.key(0), init, num_samples=4,
                              collect=False)
             jax.block_until_ready(jax.tree.leaves(r.final_state)[0])
             t_compile = time.perf_counter() - t0
@@ -187,7 +191,7 @@ def main() -> None:
             jax.block_until_ready(jax.tree.leaves(r.final_state)[0])
             dt = (time.perf_counter() - t0) / 4
             theta_f = np.asarray(r.final_state.theta)
-            print(f"[calibrate {method}] compile+2 steps {t_compile:.1f}s, "
+            print(f"[calibrate {method}] compile+4 steps {t_compile:.1f}s, "
                   f"steady {dt:.2f} s/step ({args.chains} chains), "
                   f"accept={float(r.accept_rate):.3f}, "
                   f"finite={np.isfinite(theta_f).all()}, "
