@@ -23,6 +23,7 @@ Each workload's table replaces the block between
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -49,6 +50,38 @@ from riemannhamiltonianmontecarlo_tpu.samplers import stochvol as sv_kernel
 
 RESULTS = Path(__file__).resolve().parents[1] / "RESULTS.md"
 N_SEEDS = 3  # overridden by --seeds
+
+# --only / --rows-file support: a multi-GB row (StochVol keeps
+# C x 20000 x 2003 on device) can fragment the TPU arena and OOM every
+# LATER row in the same process, so each row runs in a fresh process and
+# appends its table line here; the last invocation (or --emit-only)
+# assembles the section from all recorded rows.
+ONLY: str | None = None
+ROWS_FILE: Path | None = None
+
+
+def record_row(workload: str, table: str, name: str, line: str) -> None:
+    if ROWS_FILE is None:
+        return
+    with ROWS_FILE.open("a") as f:
+        f.write(json.dumps({"workload": workload, "table": table,
+                            "name": name, "line": line}) + "\n")
+
+
+def recorded_rows(workload: str, table: str) -> dict[str, str]:
+    """name -> latest recorded table line."""
+    out: dict[str, str] = {}
+    if ROWS_FILE is None or not ROWS_FILE.exists():
+        return out
+    for raw in ROWS_FILE.read_text().splitlines():
+        r = json.loads(raw)
+        if r["workload"] == workload and r["table"] == table:
+            out[r["name"]] = r["line"]
+    return out
+
+
+def skip_row(name: str) -> bool:
+    return ONLY is not None and name != ONLY
 
 
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
@@ -189,8 +222,9 @@ def run_stochvol(seeds: int) -> str:
         ("rmhmc", sv_kernel.StochVolConfig(), 16, 1000, 5000, 2.37, 0.34),
     ]
 
-    hyper_rows, latent_rows = [], []
     for name, cfg, chains, burn, seg, paper_h, paper_l in rows:
+        if skip_row(name):
+            continue
         print(f"--- stochvol/{name} ({chains} chains x {kept}, {seeds} seeds)",
               flush=True)
         kernel = sv_kernel.build(model, cfg)
@@ -207,10 +241,16 @@ def run_stochvol(seeds: int) -> str:
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             continue
-        hyper_rows.append(row(name, chains, kept, agg["hyper"], paper_h))
-        latent_rows.append(row(name, chains, kept, agg["latent"], paper_l))
-        print("   ", hyper_rows[-1], flush=True)
-        print("   ", latent_rows[-1], flush=True)
+        record_row("stochvol", "hyper", name, row(name, chains, kept, agg["hyper"], paper_h))
+        record_row("stochvol", "latent", name, row(name, chains, kept, agg["latent"], paper_l))
+        print("   ", recorded_rows("stochvol", "hyper").get(name, ""), flush=True)
+        print("   ", recorded_rows("stochvol", "latent").get(name, ""), flush=True)
+
+    got_h = recorded_rows("stochvol", "hyper")
+    got_l = recorded_rows("stochvol", "latent")
+    order = [r[0] for r in rows]
+    hyper_rows = [got_h[n] for n in order if n in got_h]
+    latent_rows = [got_l[n] for n in order if n in got_l]
 
     return (
         "## Stochastic volatility -- T=2000 "
@@ -246,6 +286,9 @@ def run_lgc(seeds: int) -> str:
 
     def measure(label, make_kernel, chains, burn, paper, *, init=None,
                 lift=None, warm_state_fn=None, extra="", seg=None):
+        rows.append(label + extra)  # keeps the section's row order
+        if skip_row(label):
+            return
         print(f"--- lgc/{label} ({chains} chains x {kept}, {seeds} seeds)",
               flush=True)
 
@@ -268,8 +311,9 @@ def run_lgc(seeds: int) -> str:
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             return
-        rows.append(row(label + extra, chains, kept, agg["latent"], paper))
-        print("   ", rows[-1], flush=True)
+        record_row("lgc", "latent", label + extra,
+                   row(label + extra, chains, kept, agg["latent"], paper))
+        print("   ", recorded_rows("lgc", "latent")[label + extra], flush=True)
 
     # Whitened MALA, transient tuning (LGC_MALA_Transient.m:32-33).
     wh = model.whitened()
@@ -321,6 +365,8 @@ def run_lgc(seeds: int) -> str:
                                   phmc.PHMCConfig(step_size=0.1, num_leapfrog=30)),
             16, 1000, 1.5)
 
+    got = recorded_rows("lgc", "latent")
+    rows = [got[n] for n in rows if n in got]
     return (
         "## Log-Gaussian Cox process -- 64x64 grid (D=4096 latents, "
         f"{data_src}), single TPU v5e chip\n\n"
@@ -373,8 +419,9 @@ def run_fhn(seeds: int) -> str:
          256, kept, 300, 500, 0.08),
     ]
 
-    rows = []
     for name, build, chains, samples, burn, seg, paper in rows_cfg:
+        if skip_row(name):
+            continue
         print(f"--- fhn/{name} ({chains} chains x {samples}, {seeds} seeds)",
               flush=True)
 
@@ -393,8 +440,11 @@ def run_fhn(seeds: int) -> str:
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             continue
-        rows.append(row(name, chains, samples, agg["params"], paper))
-        print("   ", rows[-1], flush=True)
+        record_row("fhn", "params", name, row(name, chains, samples, agg["params"], paper))
+        print("   ", recorded_rows("fhn", "params")[name], flush=True)
+
+    got = recorded_rows("fhn", "params")
+    rows = [got[n] for n, *_ in rows_cfg if n in got]
 
     return (
         "## FitzHugh-Nagumo ODE -- 3 parameters, 200 time points, "
@@ -426,10 +476,21 @@ def splice(text: str, name: str, section: str) -> str:
 
 
 def main() -> None:
+    global ONLY, ROWS_FILE
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="all", choices=[*WORKLOADS, "all"])
     ap.add_argument("--seeds", type=int, default=N_SEEDS)
+    ap.add_argument("--only", default=None,
+                    help="run a single sampler row (exact name); the section "
+                         "is still assembled from every row recorded so far")
+    ap.add_argument("--rows-file", default="/tmp/mr_rows.jsonl",
+                    help="sidecar accumulating measured rows across processes")
+    ap.add_argument("--emit-only", action="store_true",
+                    help="skip all measurement; assemble sections from the "
+                         "rows file alone")
     args = ap.parse_args()
+    ONLY = "\x00never" if args.emit_only else args.only
+    ROWS_FILE = Path(args.rows_file)
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
     for name in names:
         section = WORKLOADS[name](args.seeds)
