@@ -218,7 +218,7 @@ def run_stochvol(seeds: int) -> str:
          5.19, 1.04),
         ("mmala", sv_kernel.StochVolConfig(
             method="mmala", latent_step_size=0.07, hyper_step_size=1.0),
-         32, 1000, None, 142.8, 34.2),
+         16, 1000, 5000, 142.8, 34.2),
         ("rmhmc", sv_kernel.StochVolConfig(), 16, 1000, 5000, 2.37, 0.34),
     ]
 
