@@ -40,12 +40,42 @@ BURN_IN = 300
 NUM_SAMPLES = 1000
 
 
-def measure_baseline() -> float:
-    """min-ESS/s of the reference single-chain NumPy RMHMC on this host."""
+def host_fingerprint() -> str:
+    """Identity of the machine the baseline denominator was timed on."""
+    import platform
+
+    cpu = ""
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("model name"):
+                cpu = line.split(":", 1)[1].strip()
+                break
+    except OSError:
+        pass
+    import os
+
+    return f"{platform.node()}|{cpu}|{os.cpu_count()}cpu"
+
+
+def measure_baseline() -> tuple[float, dict]:
+    """min-ESS/s of the reference single-chain NumPy RMHMC on this host.
+
+    The cached denominator is only valid on the host it was measured on
+    (VERDICT round-3 weak #7): the cache records a host fingerprint and
+    date, is re-measured on mismatch, and both are echoed in the bench
+    JSON line so a stale ``vs_baseline`` is visible, not silent.
+    """
+    fp = host_fingerprint()
     if BASELINE_CACHE.exists():
-        return json.loads(BASELINE_CACHE.read_text())["ess_per_sec"]
+        cache = json.loads(BASELINE_CACHE.read_text())
+        if cache.get("host") == fp:
+            return cache["ess_per_sec"], cache
+        print(f"bench: baseline cache host mismatch "
+              f"({cache.get('host')!r} != {fp!r}); re-measuring",
+              file=sys.stderr)
     if not REFERENCE_CODE.exists():
-        return FALLBACK_BASELINE_ESS_PER_SEC
+        return FALLBACK_BASELINE_ESS_PER_SEC, {
+            "host": fp, "measured_on": "fallback constant"}
     import importlib.util
 
     sys.path.insert(0, str(REFERENCE_CODE))
@@ -66,10 +96,11 @@ def measure_baseline() -> float:
 
     ess = ess_geyer(samples, samples.shape[0] - 1)
     value = float(ess.min() / time_taken)
-    BASELINE_CACHE.write_text(
-        json.dumps({"ess_per_sec": value, "iters": iters, "burn": burn})
-    )
-    return value
+    cache = {"ess_per_sec": value, "iters": iters, "burn": burn,
+             "host": host_fingerprint(),
+             "measured_on": time.strftime("%Y-%m-%d %H:%M:%S")}
+    BASELINE_CACHE.write_text(json.dumps(cache))
+    return value, cache
 
 
 # Peak dense-matmul throughput (bf16 MXU) by device kind; the MFU figure
@@ -182,12 +213,15 @@ def main() -> None:
     min_ess = float(ess.min())
     value = min_ess / elapsed
 
-    baseline = measure_baseline()
+    baseline, base_meta = measure_baseline()
     record = {
         "metric": f"BLR australian RMHMC min-ESS/s ({NUM_CHAINS} chains, 1 chip)",
         "value": round(value, 1),
         "unit": "ESS/s",
         "vs_baseline": round(value / baseline, 1),
+        "baseline_ess_per_sec": round(baseline, 3),
+        "baseline_host": base_meta.get("host"),
+        "baseline_measured_on": base_meta.get("measured_on"),
     }
     n_data, d = ds.X.shape[0], ds.X.shape[1]
     step_flops = rmhmc_step_flops(n_data, d)

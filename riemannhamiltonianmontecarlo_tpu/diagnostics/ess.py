@@ -93,9 +93,16 @@ def ess_geyer_device(samples, max_lag: int | None = None, max_bytes: int = 1 << 
     The parameter axis is processed in chunks so the complex FFT scratch
     stays under ``max_bytes`` (the full LGC/StochVol latent fields would
     otherwise need multi-GB buffers: C x 2*nextpow2(N) x P complex64).
+
+    ``samples`` may also be a host ``np.ndarray`` (e.g. kept samples
+    streamed off-device per segment because the full trajectory does not
+    fit HBM -- StochVol at 64+ chains keeps C x 20000 x 2003 f32).  In
+    that case demeaning and chunk slicing happen host-side and only one
+    (C, N, chunk) slab lives on device at a time.
     """
     import jax.numpy as jnp
 
+    on_host = isinstance(samples, np.ndarray)
     x = samples
     multichain = x.ndim == 3
     if not multichain:
@@ -106,6 +113,7 @@ def ess_geyer_device(samples, max_lag: int | None = None, max_bytes: int = 1 << 
     nfft = 2 * nextpow2(n)
 
     def chunk_ess(xc_chunk):
+        xc_chunk = jnp.asarray(xc_chunk)
         f = jnp.fft.fft(xc_chunk, n=nfft, axis=1)
         acf = jnp.fft.ifft(f * jnp.conj(f), axis=1).real[:, : max_lag + 1]
         acf = acf / jnp.maximum(acf[:, :1], 1e-30)
@@ -115,15 +123,20 @@ def ess_geyer_device(samples, max_lag: int | None = None, max_bytes: int = 1 << 
         mono = -acf[:, 0] + 2.0 * jnp.sum(jnp.where(gamma > 0.0, gamma, 0.0), axis=1)
         return n / jnp.maximum(mono, 1.0)  # (C, chunk)
 
-    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    if on_host:
+        x = np.asarray(x, np.float32)
+        xc = x - x.mean(axis=1, keepdims=True)
+    else:
+        xc = x - jnp.mean(x, axis=1, keepdims=True)
     chunk = max(int(max_bytes // (8 * c * nfft)), 1)
-    if chunk >= p:
+    if chunk >= p and not on_host:
         ess = chunk_ess(xc)
     else:
         parts = [
-            chunk_ess(xc[:, :, lo : lo + chunk]) for lo in range(0, p, chunk)
+            np.asarray(chunk_ess(xc[:, :, lo : lo + chunk]))
+            for lo in range(0, p, chunk)
         ]
-        ess = jnp.concatenate(parts, axis=1)
+        ess = jnp.asarray(np.concatenate(parts, axis=1))
     return jnp.sum(ess, axis=0) if multichain else ess[0]
 
 

@@ -60,22 +60,37 @@ ONLY: str | None = None
 ROWS_FILE: Path | None = None
 
 
+N_SEEDS_ACTIVE = N_SEEDS  # set from --seeds; stamped into sidecar records
+
+
 def record_row(workload: str, table: str, name: str, line: str) -> None:
     if ROWS_FILE is None:
         return
     with ROWS_FILE.open("a") as f:
         f.write(json.dumps({"workload": workload, "table": table,
-                            "name": name, "line": line}) + "\n")
+                            "name": name, "line": line,
+                            "seeds": N_SEEDS_ACTIVE}) + "\n")
 
 
 def recorded_rows(workload: str, table: str) -> dict[str, str]:
-    """name -> latest recorded table line."""
+    """name -> latest recorded table line (matching the current --seeds).
+
+    Records stamped with a different seed count are skipped with a
+    warning: a row measured under an old protocol must not be silently
+    merged into a section whose prose states the current one
+    (ADVICE round-3 low #1).
+    """
     out: dict[str, str] = {}
     if ROWS_FILE is None or not ROWS_FILE.exists():
         return out
     for raw in ROWS_FILE.read_text().splitlines():
         r = json.loads(raw)
         if r["workload"] == workload and r["table"] == table:
+            if r.get("seeds", N_SEEDS_ACTIVE) != N_SEEDS_ACTIVE:
+                print(f"    [rows-file] skipping {r['name']}: recorded with "
+                      f"seeds={r.get('seeds')} != current {N_SEEDS_ACTIVE}",
+                      flush=True)
+                continue
             out[r["name"]] = r["line"]
     return out
 
@@ -85,16 +100,29 @@ def skip_row(name: str) -> bool:
 
 
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
-                 collect_fn=None, init_state=None, seg: int | None = None):
+                 collect_fn=None, init_state=None, seg: int | None = None,
+                 stream: bool = False):
     """Warmup (untimed) then two sampling halves; returns (samples, accept, t).
 
     ``init_state`` skips the warmup (e.g. after an adaptive warmup whose
     state wrapper differs from the sampling kernel's).  ``seg`` bounds
     each device call to that many steps (the tunneled backend kills
     minutes-long programs); the second half is still timed end to end.
+
+    ``stream`` moves each segment's kept samples to host memory as soon
+    as the NEXT segment has been dispatched, so only ~2 segment buffers
+    ever live in HBM and the full C x N x P trajectory accumulates in
+    host RAM (125 GB here) -- this is what lets StochVol run 64+ chains
+    at the reference 20000 kept samples without OOM.  The device->host
+    pull of segment i overlaps segment i+1's compute (async dispatch);
+    only the final segment's pull lands inside the timed window.
+    Returned samples are then host ``np.ndarray``s.
     """
     key = jax.random.key(seed)
     k_w, k_a, k_b = jax.random.split(key, 3)
+
+    def to_host(tree):
+        return jax.tree.map(np.asarray, tree)
 
     def run_chunk(k, state, steps, collect, position=None):
         if seg is None or steps <= seg:
@@ -103,8 +131,10 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                              collect_fn=collect_fn if collect else None)
             jax.block_until_ready(jax.tree.leaves(
                 r.samples if collect else r.final_state)[0])
-            return r.final_state, r.samples, float(r.accept_rate)
+            samples = to_host(r.samples) if (collect and stream) else r.samples
+            return r.final_state, samples, float(r.accept_rate)
         outs, accs = [], []
+        pending = None  # previous segment's device samples, not yet pulled
         for i in range(0, steps, seg):
             n = min(seg, steps - i)
             r = parallel.run(kernel, jax.random.fold_in(k, i),
@@ -112,11 +142,20 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                              num_samples=n, collect=collect, init_state=state,
                              collect_fn=collect_fn if collect else None)
             state = r.final_state
-            accs.append(float(r.accept_rate) * n)
+            if pending is not None:  # pull while the device runs segment i
+                outs.append(to_host(pending))
+                pending = None
+            accs.append(float(r.accept_rate) * n)  # forces segment completion
             if collect:
-                outs.append(r.samples)
+                if stream:
+                    pending = r.samples
+                else:
+                    outs.append(r.samples)
             jax.block_until_ready(jax.tree.leaves(state)[0])
-        samples = (jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *outs)
+        if pending is not None:
+            outs.append(to_host(pending))
+        cat = np.concatenate if stream else jnp.concatenate
+        samples = (jax.tree.map(lambda *a: cat(a, axis=1), *outs)
                    if collect else None)
         return state, samples, sum(accs) / steps
 
@@ -131,7 +170,8 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
     state, sb, acc_b = run_chunk(k_b, state, half, True)
     t = 2.0 * (time.perf_counter() - t0)
 
-    samples = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=1), sa, sb)
+    cat = np.concatenate if stream else jnp.concatenate
+    samples = jax.tree.map(lambda a, b: cat([a, b], axis=1), sa, sb)
     return samples, 0.5 * (acc_a + acc_b), t
 
 
@@ -208,18 +248,23 @@ def run_stochvol(seeds: int) -> str:
 
     kept = 20000
     # (label, config, chains, burn, seg, paper_hyper, paper_latent)
+    # Chain counts are no longer HBM-bound: kept samples stream to host
+    # per segment (timed_halves(stream=True)), so only ~2 segment buffers
+    # (C x seg x 2003 f32) live on device at once.  ESS adds over chains,
+    # and the per-step cost is strongly sublinear in C (latency-bound
+    # tridiagonal ops on T=2000), so more chains is nearly free ESS/s.
     rows = [
         ("mala", sv_kernel.StochVolConfig(
             method="mala", latent_step_size=0.05 / 2000 ** 0.5,
-            hyper_step_size=0.01 / 2000 ** 0.5), 32, 2000, None, 3.89, 4.5),
+            hyper_step_size=0.01 / 2000 ** 0.5), 128, 2000, 2500, 3.89, 4.5),
         ("hmc", sv_kernel.StochVolConfig(
             method="hmc", latent_num_leapfrog=100, latent_step_size=0.03,
-            hyper_num_leapfrog=100, hyper_step_size=0.015), 16, 1000, 2500,
+            hyper_num_leapfrog=100, hyper_step_size=0.015), 64, 1000, 2500,
          5.19, 1.04),
         ("mmala", sv_kernel.StochVolConfig(
             method="mmala", latent_step_size=0.07, hyper_step_size=1.0),
-         16, 1000, 5000, 142.8, 34.2),
-        ("rmhmc", sv_kernel.StochVolConfig(), 16, 1000, 5000, 2.37, 0.34),
+         64, 1000, 2500, 142.8, 34.2),
+        ("rmhmc", sv_kernel.StochVolConfig(), 64, 1000, 2500, 2.37, 0.34),
     ]
 
     for name, cfg, chains, burn, seg, paper_h, paper_l in rows:
@@ -233,7 +278,8 @@ def run_stochvol(seeds: int) -> str:
             init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
             (theta, x), accept, t = timed_halves(
                 kernel, init, burn_in=burn, num_samples=kept, seed=seed,
-                collect_fn=lambda st: (st.position, st.x), seg=seg)
+                collect_fn=lambda st: (st.position, st.x), seg=seg,
+                stream=True)
             return {"hyper": theta, "latent": x}, accept, t
 
         try:
@@ -252,7 +298,7 @@ def run_stochvol(seeds: int) -> str:
     hyper_rows = [got_h[n] for n in order if n in got_h]
     latent_rows = [got_l[n] for n in order if n in got_l]
 
-    return (
+    return (len(hyper_rows) + len(latent_rows), 2 * len(order)), (
         "## Stochastic volatility -- T=2000 "
         f"({data_src}; beta=0.65, sigma=0.15, phi=0.98), single TPU v5e chip\n\n"
         "Two-block Gibbs samplers at reference hyperparameters "
@@ -285,11 +331,13 @@ def run_lgc(seeds: int) -> str:
     rows = []
 
     def measure(label, make_kernel, chains, burn, paper, *, init=None,
-                lift=None, warm_state_fn=None, extra="", seg=None):
-        rows.append(label + extra)  # keeps the section's row order
-        if skip_row(label):
+                lift=None, warm_state_fn=None, extra="", seg=None,
+                stream=False):
+        name = label + extra  # single key for skip/record/order (ADVICE low #2)
+        rows.append(name)  # keeps the section's row order
+        if skip_row(name):
             return
-        print(f"--- lgc/{label} ({chains} chains x {kept}, {seeds} seeds)",
+        print(f"--- lgc/{name} ({chains} chains x {kept}, {seeds} seeds)",
               flush=True)
 
         def run_one(seed):
@@ -298,11 +346,13 @@ def run_lgc(seeds: int) -> str:
                 st = warm_state_fn(kernel, seed)
                 s, accept, t = timed_halves(kernel, None, burn_in=0,
                                             num_samples=kept, seed=seed,
-                                            init_state=st, seg=seg)
+                                            init_state=st, seg=seg,
+                                            stream=stream)
             else:
                 pos = init if init is not None else jnp.tile(prior, (chains, 1))
                 s, accept, t = timed_halves(kernel, pos, burn_in=burn,
-                                            num_samples=kept, seed=seed, seg=seg)
+                                            num_samples=kept, seed=seed,
+                                            seg=seg, stream=stream)
             x = lift(s) if lift is not None else s
             return {"latent": x}, accept, t
 
@@ -311,9 +361,9 @@ def run_lgc(seeds: int) -> str:
         except Exception as e:
             print(f"    FAILED: {e}", flush=True)
             return
-        record_row("lgc", "latent", label + extra,
-                   row(label + extra, chains, kept, agg["latent"], paper))
-        print("   ", recorded_rows("lgc", "latent")[label + extra], flush=True)
+        record_row("lgc", "latent", name,
+                   row(name, chains, kept, agg["latent"], paper))
+        print("   ", recorded_rows("lgc", "latent")[name], flush=True)
 
     # Whitened MALA, transient tuning (LGC_MALA_Transient.m:32-33).
     wh = model.whitened()
@@ -360,14 +410,18 @@ def run_lgc(seeds: int) -> str:
             8, 300, 24.1, seg=500)
 
     # Constant-metric RMHMC == preconditioned HMC (LGC_RMHMC_LV.m:95-101).
+    # 64 chains (VERDICT round-3 item 7): the (C, D) x (D, D) matvecs in
+    # the leapfrog are MXU work whose utilization grows with C; kept
+    # samples (C x 5000 x 4096) stream to host per segment.
     measure("rmhmc (constant metric)",
             lambda _s: phmc.build(model, model.metric_chol, model.metric_inv,
                                   phmc.PHMCConfig(step_size=0.1, num_leapfrog=30)),
-            16, 1000, 1.5)
+            64, 1000, 1.5, seg=1250, stream=True)
 
     got = recorded_rows("lgc", "latent")
+    expected = len(rows)
     rows = [got[n] for n in rows if n in got]
-    return (
+    return (len(rows), expected), (
         "## Log-Gaussian Cox process -- 64x64 grid (D=4096 latents, "
         f"{data_src}), single TPU v5e chip\n\n"
         "Latent-field sampling at reference hyperparameters "
@@ -446,7 +500,7 @@ def run_fhn(seeds: int) -> str:
     got = recorded_rows("fhn", "params")
     rows = [got[n] for n, *_ in rows_cfg if n in got]
 
-    return (
+    return (len(rows), len(rows_cfg)), (
         "## FitzHugh-Nagumo ODE -- 3 parameters, 200 time points, "
         "noise sd 0.5, single TPU v5e chip\n\n"
         "Parameter inference at reference hyperparameters "
@@ -476,7 +530,7 @@ def splice(text: str, name: str, section: str) -> str:
 
 
 def main() -> None:
-    global ONLY, ROWS_FILE
+    global ONLY, ROWS_FILE, N_SEEDS_ACTIVE
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="all", choices=[*WORKLOADS, "all"])
     ap.add_argument("--seeds", type=int, default=N_SEEDS)
@@ -488,15 +542,33 @@ def main() -> None:
     ap.add_argument("--emit-only", action="store_true",
                     help="skip all measurement; assemble sections from the "
                          "rows file alone")
+    ap.add_argument("--allow-partial", action="store_true",
+                    help="splice a section even when some configured rows "
+                         "have no recorded measurement")
     args = ap.parse_args()
+    if args.only is not None and args.workload == "all":
+        # ADVICE round-3 medium #1: same-named rows (mala/mmala/rmhmc)
+        # exist in every workload; --only without an explicit workload
+        # would run unintended heavy rows.
+        ap.error("--only requires an explicit --workload")
     ONLY = "\x00never" if args.emit_only else args.only
     ROWS_FILE = Path(args.rows_file)
+    N_SEEDS_ACTIVE = args.seeds
     names = list(WORKLOADS) if args.workload == "all" else [args.workload]
     for name in names:
-        section = WORKLOADS[name](args.seeds)
+        (got, expected), section = WORKLOADS[name](args.seeds)
+        if got < expected and not args.allow_partial:
+            # Never splice a partial table over existing RESULTS.md data
+            # (ADVICE round-3 medium #1): a full section only assembles
+            # once every configured row has a recorded measurement.
+            print(f"=== section {name}: {got}/{expected} rows recorded; "
+                  "NOT splicing (pass --allow-partial to override)",
+                  flush=True)
+            continue
         text = RESULTS.read_text() if RESULTS.exists() else "# RESULTS\n"
         RESULTS.write_text(splice(text, name, section))
-        print(f"=== wrote section {name} to {RESULTS}", flush=True)
+        print(f"=== wrote section {name} ({got}/{expected} rows) to {RESULTS}",
+              flush=True)
 
 
 if __name__ == "__main__":
