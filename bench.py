@@ -253,7 +253,10 @@ def lgc_utilization():
     from riemannhamiltonianmontecarlo_tpu.models import lgc
     from riemannhamiltonianmontecarlo_tpu.samplers import phmc
 
-    chains, steps, leap = 16, 200, 30
+    # 256 chains saturate the MXU on this workload (measured round 4:
+    # 6.4 TF/s at C=16, 21.1 at 64, 26.4 at 128, 27.7 at 256, 28.1 at
+    # 512); collect=False so HBM holds only the (C, D) state.
+    chains, steps, leap = 256, 200, 30
     y, _ = lgc.load_data(n=64)
     model = lgc.LGCModel(jnp.asarray(y, jnp.float32), n=64)
     kernel = phmc.build(model, model.metric_chol, model.metric_inv,
@@ -278,7 +281,13 @@ def lgc_utilization():
         "achieved_tflops_per_s": round(flops / elapsed / 1e12, 3),
         "mfu_vs_bf16_peak": round(flops / elapsed / peak, 5),
         "bound": ("compute-bound on (C,D)x(D,D) f32 HIGHEST-precision "
-                  "matvecs (6 bf16 MXU passes each)"),
+                  "matvecs (6 bf16 MXU passes each); saturates ~86% of "
+                  "the f32-effective ceiling (197/6 = 32.8 TF/s) at "
+                  "C>=256.  Reduced trajectory precision was measured "
+                  "and rejected: bf16/bf16x3 trajectories collapse "
+                  "acceptance 0.96 -> 0.02 at this D and conditioning "
+                  "(samplers/phmc.py trajectory_precision note), so the "
+                  "f32 roofline is the honest ceiling"),
         "note": f"{chains} chains x {steps} steps, L={leap}, D={d}",
     }
 

@@ -140,6 +140,60 @@ def ess_geyer_device(samples, max_lag: int | None = None, max_bytes: int = 1 << 
     return jnp.sum(ess, axis=0) if multichain else ess[0]
 
 
+def _parts_chunk_ess(xc, n: int, nfft: int, max_lag: int):
+    """Geyer ESS of one coordinate chunk, summed over chains.
+
+    xc: (C, N, chunk) -> (chunk,).  Module-level jit so the compiled
+    program is reused across chunks, seeds, and callers.
+    """
+    import jax.numpy as jnp
+
+    xc = xc - jnp.mean(xc, axis=1, keepdims=True)
+    f = jnp.fft.fft(xc, n=nfft, axis=1)
+    acf = jnp.fft.ifft(f * jnp.conj(f), axis=1).real[:, : max_lag + 1]
+    acf = acf / jnp.maximum(acf[:, :1], 1e-30)
+    half = (max_lag + 1) // 2
+    gamma = acf[:, 0 : 2 * half : 2] + acf[:, 1 : 2 * half : 2]
+    gamma = jax.lax.associative_scan(jnp.minimum, gamma, axis=1)
+    mono = -acf[:, 0] + 2.0 * jnp.sum(jnp.where(gamma > 0.0, gamma, 0.0), axis=1)
+    return jnp.sum(n / jnp.maximum(mono, 1.0), axis=0)
+
+
+_parts_chunk_ess_jit = jax.jit(
+    _parts_chunk_ess, static_argnames=("n", "nfft", "max_lag")
+)
+
+
+def ess_geyer_device_parts(parts, max_lag: int | None = None,
+                           max_bytes: int = 1 << 29) -> np.ndarray:
+    """Chain-summed Geyer ESS of a trajectory stored as device segments.
+
+    ``parts``: list of (C, N_i, P) device arrays -- the kept samples as
+    produced segment-by-segment (the tunneled backend bounds device-call
+    length, and host streaming is ruled out by the ~20 MB/s tunnel
+    transfer rate).  The full (C, sum N_i, P) tensor is never
+    materialized: per coordinate chunk the segments are sliced,
+    concatenated, FFT'd and freed, so peak extra HBM is one
+    (C, N, chunk) buffer plus the complex FFT scratch (< ``max_bytes``).
+    Returns the (P,) chain-summed ESS as a host array.
+    """
+    import jax.numpy as jnp
+
+    c, _, p = parts[0].shape
+    n = int(sum(pt.shape[1] for pt in parts))
+    if max_lag is None:
+        max_lag = n - 1
+    nfft = 2 * nextpow2(n)
+    chunk = max(int(max_bytes // (8 * c * nfft)), 1)
+    outs = []
+    for lo in range(0, p, chunk):
+        xc = jnp.concatenate([pt[:, :, lo : lo + chunk] for pt in parts], axis=1)
+        outs.append(np.asarray(
+            _parts_chunk_ess_jit(xc, n=n, nfft=nfft, max_lag=max_lag)))
+        del xc
+    return np.concatenate(outs)
+
+
 def ess_multichain(
     samples: np.ndarray, max_lag: int | None = None, nfft_mode: str = "reference"
 ) -> np.ndarray:

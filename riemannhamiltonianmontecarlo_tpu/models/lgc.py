@@ -164,6 +164,26 @@ class LGCModel:
         )
         return logp, self.y - self.m * expx - sx
 
+    def logp_and_grad_fast(self, x: Array) -> tuple[Array, Array]:
+        """Reduced-precision variant for IN-TRAJECTORY use only.
+
+        One bf16 MXU pass for the ``Sigma^{-1}`` matvec instead of
+        HIGHEST's six.  Safe only where the caller re-evaluates the exact
+        Hamiltonian at the trajectory endpoints before the MH test
+        (samplers/phmc.py trajectory_precision) -- integration error then
+        moves acceptance, not the stationary distribution.
+        """
+        centered = x - self.mu
+        sx = jnp.matmul(centered, self.sigma_inv,
+                        precision=jax.lax.Precision.DEFAULT)
+        expx = jnp.exp(x)
+        logp = (
+            jnp.sum(x * self.y, axis=-1)
+            - self.m * jnp.sum(expx, axis=-1)
+            - 0.5 * jnp.sum(centered * sx, axis=-1)
+        )
+        return logp, self.y - self.m * expx - sx
+
     def prior_mean(self) -> Array:
         return jnp.full((self.dim,), self.mu, jnp.float32)
 

@@ -34,6 +34,22 @@ class PHMCConfig:
     num_leapfrog: int = 30  # LGC_RMHMC_LV.m:32
     randomize_length: bool = True
     random_direction: bool = True  # LGC_RMHMC_LV.m:144
+    # Matmul precision INSIDE the leapfrog trajectory only.  The MH test
+    # makes the integrator a proposal: endpoint Hamiltonians (logp and
+    # kinetic energy) always run at HIGHEST, so reduced trajectory
+    # precision can only move the acceptance rate, never bias the
+    # stationary distribution.  On TPU, "default" is one bf16 MXU pass
+    # per f32 matmul vs 6 for "highest".
+    # MEASURED (round 4, real v5e, LGC D=4096, eps=0.1 L=30): the raw
+    # throughput win is 4x (6.35 -> 1.59 ms/step at 64 chains) but
+    # acceptance COLLAPSES 0.958 -> 0.016 ("high" bf16x3: 0.019) -- the
+    # per-step gradient error from one bf16 pass over Sigma^{-1} is
+    # O(1e-1) absolute at this conditioning and 30 accumulated kicks put
+    # Delta-H far past O(1).  Exactness is preserved either way, but at
+    # large ill-conditioned D this knob buys nothing: utilization comes
+    # from the chain axis instead (21 TF/s at C=64 HIGHEST, bench.py).
+    # Kept for well-conditioned / small-D targets; monitor acceptance.
+    trajectory_precision: str = "highest"  # highest | high | default
 
 
 class PHMCState(NamedTuple):
@@ -45,6 +61,17 @@ def build(model, mass_chol: Array, mass_inv: Array, config: PHMCConfig = PHMCCon
     """``mass_chol``: lower Cholesky of G (D, D); ``mass_inv``: G^{-1}."""
     eps = config.step_size
     max_steps = config.num_leapfrog
+    traj_prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[config.trajectory_precision]
+    # In-trajectory gradient: a model may expose a reduced-precision
+    # variant (e.g. LGCModel.logp_and_grad_fast); endpoints stay exact.
+    if config.trajectory_precision == "highest":
+        traj_grad = model.logp_and_grad
+    else:
+        traj_grad = getattr(model, "logp_and_grad_fast", model.logp_and_grad)
 
     def init(position: Array) -> PHMCState:
         return PHMCState(position, model.logp(position))
@@ -70,14 +97,15 @@ def build(model, mass_chol: Array, mass_inv: Array, config: PHMCConfig = PHMCCon
             direction = jnp.ones((c,))
         dt = (direction * eps)[:, None].astype(state.position.dtype)
 
-        logp0, grad0 = model.logp_and_grad(state.position)
+        logp0 = model.logp(state.position)  # endpoint: always exact
+        _, grad0 = traj_grad(state.position)
 
         def body(i, carry):
             w, p, g = carry
             active = (i < n_steps)[:, None]
             p_half = p + 0.5 * dt * g
-            w_new = w + dt * jnp.matmul(p_half, mass_inv, precision=_PREC)
-            _, g_new = model.logp_and_grad(w_new)
+            w_new = w + dt * jnp.matmul(p_half, mass_inv, precision=traj_prec)
+            _, g_new = traj_grad(w_new)
             p_new = p_half + 0.5 * dt * g_new
             w = jnp.where(active, w_new, w)
             p = jnp.where(active, p_new, p)

@@ -146,3 +146,29 @@ def test_device_ess_chunked_matches_unchunked():
     full = np.asarray(ess_geyer_device(x))
     chunked = np.asarray(ess_geyer_device(x, max_bytes=3 * 8 * 1024 * 2))  # chunk=2
     np.testing.assert_allclose(chunked, full, rtol=1e-5)
+
+
+def test_device_ess_parts_matches_full():
+    """Segment-parts ESS (never materializes the full tensor) == full-tensor
+    ESS, including when a tiny max_bytes forces coordinate chunking and
+    when the input arrives as host numpy (round-4: StochVol kept samples
+    live only as per-segment device parts)."""
+    import jax.numpy as jnp
+
+    from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
+        ess_geyer_device,
+        ess_geyer_device_parts,
+    )
+
+    rng = np.random.default_rng(6)
+    x = np.stack([ar1_samples(rng, 512, 9, rho=0.7) for _ in range(4)]).astype(
+        np.float32)
+    parts = [jnp.asarray(x[:, :200]), jnp.asarray(x[:, 200:350]),
+             jnp.asarray(x[:, 350:])]
+    full = np.asarray(ess_geyer_device(jnp.asarray(x)))
+    np.testing.assert_allclose(ess_geyer_device_parts(parts), full, rtol=1e-3)
+    np.testing.assert_allclose(
+        ess_geyer_device_parts(parts, max_bytes=1 << 18), full, rtol=1e-3)
+    # numpy-input path of the full-tensor variant (host-side demean + chunked
+    # device FFT) agrees too
+    np.testing.assert_allclose(np.asarray(ess_geyer_device(x)), full, rtol=1e-3)

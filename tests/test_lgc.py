@@ -75,6 +75,33 @@ def test_lgc_phmc_posterior_field(small_model):
     assert corr > 0.5, corr  # posterior mean tracks the generating field
 
 
+def test_lgc_phmc_mixed_precision_parity(small_model):
+    """bf16-trajectory pHMC: exact endpoint Hamiltonians keep the
+    stationary distribution; only acceptance may move (phmc.py
+    trajectory_precision).  On CPU DEFAULT==f32 so moments match tightly;
+    on TPU the same test bounds the posterior drift of the fast path."""
+    model, _ = small_model
+    c = 8
+    init = jnp.tile(model.prior_mean(), (c, 1))
+    moments = {}
+    for prec in ("highest", "default"):
+        kernel = phmc.build(
+            model, model.metric_chol, model.metric_inv,
+            phmc.PHMCConfig(step_size=0.1, num_leapfrog=15,
+                            trajectory_precision=prec),
+        )
+        res = run(kernel, jax.random.key(5), init, num_samples=400,
+                  burn_in=200)
+        assert float(res.accept_rate) > 0.5, prec
+        assert int(res.divergences) == 0, prec
+        s = np.asarray(res.samples).reshape(-1, model.dim)
+        moments[prec] = (s.mean(0), s.std(0))
+    np.testing.assert_allclose(moments["default"][0], moments["highest"][0],
+                               atol=0.25)
+    np.testing.assert_allclose(moments["default"][1], moments["highest"][1],
+                               atol=0.25)
+
+
 def test_lgc_manifold_contractions(small_model):
     """dG is diagonal: contractions must match the dense jacfwd oracle."""
     model, _ = small_model

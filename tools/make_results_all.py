@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 
 from riemannhamiltonianmontecarlo_tpu import parallel
-from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import ess_geyer_device
+from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
+    ess_geyer_device,
+    ess_geyer_device_parts,
+)
 from riemannhamiltonianmontecarlo_tpu.models import fhn, lgc, stochvol
 from riemannhamiltonianmontecarlo_tpu.samplers import (
     hmc,
@@ -101,7 +104,7 @@ def skip_row(name: str) -> bool:
 
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                  collect_fn=None, init_state=None, seg: int | None = None,
-                 stream: bool = False):
+                 parts: bool = False):
     """Warmup (untimed) then two sampling halves; returns (samples, accept, t).
 
     ``init_state`` skips the warmup (e.g. after an adaptive warmup whose
@@ -109,20 +112,16 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
     each device call to that many steps (the tunneled backend kills
     minutes-long programs); the second half is still timed end to end.
 
-    ``stream`` moves each segment's kept samples to host memory as soon
-    as the NEXT segment has been dispatched, so only ~2 segment buffers
-    ever live in HBM and the full C x N x P trajectory accumulates in
-    host RAM (125 GB here) -- this is what lets StochVol run 64+ chains
-    at the reference 20000 kept samples without OOM.  The device->host
-    pull of segment i overlaps segment i+1's compute (async dispatch);
-    only the final segment's pull lands inside the timed window.
-    Returned samples are then host ``np.ndarray``s.
+    ``parts`` keeps the kept samples as the LIST of per-segment device
+    arrays instead of concatenating -- concatenation doubles peak HBM
+    (parts + result), which is what OOM'd the round-3 StochVol reruns,
+    and the ~20 MB/s tunnel rules out host streaming.  Downstream ESS
+    runs chunk-wise over coordinates via ``ess_geyer_device_parts``, so
+    the full C x N x P tensor (10.2 GB at C=64 for StochVol) only ever
+    exists as parts.
     """
     key = jax.random.key(seed)
     k_w, k_a, k_b = jax.random.split(key, 3)
-
-    def to_host(tree):
-        return jax.tree.map(np.asarray, tree)
 
     def run_chunk(k, state, steps, collect, position=None):
         if seg is None or steps <= seg:
@@ -131,10 +130,9 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                              collect_fn=collect_fn if collect else None)
             jax.block_until_ready(jax.tree.leaves(
                 r.samples if collect else r.final_state)[0])
-            samples = to_host(r.samples) if (collect and stream) else r.samples
+            samples = [r.samples] if (collect and parts) else r.samples
             return r.final_state, samples, float(r.accept_rate)
         outs, accs = [], []
-        pending = None  # previous segment's device samples, not yet pulled
         for i in range(0, steps, seg):
             n = min(seg, steps - i)
             r = parallel.run(kernel, jax.random.fold_in(k, i),
@@ -142,21 +140,16 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                              num_samples=n, collect=collect, init_state=state,
                              collect_fn=collect_fn if collect else None)
             state = r.final_state
-            if pending is not None:  # pull while the device runs segment i
-                outs.append(to_host(pending))
-                pending = None
             accs.append(float(r.accept_rate) * n)  # forces segment completion
             if collect:
-                if stream:
-                    pending = r.samples
-                else:
-                    outs.append(r.samples)
+                outs.append(r.samples)
             jax.block_until_ready(jax.tree.leaves(state)[0])
-        if pending is not None:
-            outs.append(to_host(pending))
-        cat = np.concatenate if stream else jnp.concatenate
-        samples = (jax.tree.map(lambda *a: cat(a, axis=1), *outs)
-                   if collect else None)
+        if not collect:
+            samples = None
+        elif parts:
+            samples = outs  # list of per-segment collect trees
+        else:
+            samples = jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *outs)
         return state, samples, sum(accs) / steps
 
     if init_state is not None:
@@ -170,14 +163,24 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
     state, sb, acc_b = run_chunk(k_b, state, half, True)
     t = 2.0 * (time.perf_counter() - t0)
 
-    cat = np.concatenate if stream else jnp.concatenate
-    samples = jax.tree.map(lambda a, b: cat([a, b], axis=1), sa, sb)
+    if parts:
+        samples = sa + sb  # list concat: segments in order
+    else:
+        samples = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=1), sa, sb)
     return samples, 0.5 * (acc_a + acc_b), t
 
 
 def ess_stats(samples) -> tuple[float, float, float]:
-    """(min, med, max) over coordinates of chain-summed Geyer ESS."""
-    ess = np.asarray(ess_geyer_device(samples))
+    """(min, med, max) over coordinates of chain-summed Geyer ESS.
+
+    ``samples`` is either one (C, N, P) array or a list of per-segment
+    (C, N_i, P) device arrays (timed_halves(parts=True)).
+    """
+    if isinstance(samples, list):
+        ess = ess_geyer_device_parts(samples)
+    else:
+        ess = np.asarray(ess_geyer_device(samples))
     return float(ess.min()), float(np.median(ess)), float(ess.max())
 
 
@@ -248,15 +251,16 @@ def run_stochvol(seeds: int) -> str:
 
     kept = 20000
     # (label, config, chains, burn, seg, paper_hyper, paper_latent)
-    # Chain counts are no longer HBM-bound: kept samples stream to host
-    # per segment (timed_halves(stream=True)), so only ~2 segment buffers
-    # (C x seg x 2003 f32) live on device at once.  ESS adds over chains,
-    # and the per-step cost is strongly sublinear in C (latency-bound
-    # tridiagonal ops on T=2000), so more chains is nearly free ESS/s.
+    # The kept latent trajectory (C x 20000 x 2000 f32) stays on device
+    # as per-segment PARTS (timed_halves(parts=True)); ESS runs chunk-wise
+    # over coordinates (ess_geyer_device_parts), so the concat copy that
+    # OOM'd the round-3 reruns never exists and C=64 (10.2 GB of parts)
+    # fits the 16 GB chip.  ESS adds over chains, so this quadruples the
+    # round-3 totals at the same protocol.
     rows = [
         ("mala", sv_kernel.StochVolConfig(
             method="mala", latent_step_size=0.05 / 2000 ** 0.5,
-            hyper_step_size=0.01 / 2000 ** 0.5), 128, 2000, 2500, 3.89, 4.5),
+            hyper_step_size=0.01 / 2000 ** 0.5), 64, 2000, 2500, 3.89, 4.5),
         ("hmc", sv_kernel.StochVolConfig(
             method="hmc", latent_num_leapfrog=100, latent_step_size=0.03,
             hyper_num_leapfrog=100, hyper_step_size=0.015), 64, 1000, 2500,
@@ -276,11 +280,12 @@ def run_stochvol(seeds: int) -> str:
 
         def run_one(seed, kernel=kernel, chains=chains, burn=burn, seg=seg):
             init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
-            (theta, x), accept, t = timed_halves(
+            sparts, accept, t = timed_halves(
                 kernel, init, burn_in=burn, num_samples=kept, seed=seed,
                 collect_fn=lambda st: (st.position, st.x), seg=seg,
-                stream=True)
-            return {"hyper": theta, "latent": x}, accept, t
+                parts=True)
+            return {"hyper": [p[0] for p in sparts],
+                    "latent": [p[1] for p in sparts]}, accept, t
 
         try:
             agg = repeated(run_one, seeds)
@@ -332,7 +337,7 @@ def run_lgc(seeds: int) -> str:
 
     def measure(label, make_kernel, chains, burn, paper, *, init=None,
                 lift=None, warm_state_fn=None, extra="", seg=None,
-                stream=False):
+                parts=False):
         name = label + extra  # single key for skip/record/order (ADVICE low #2)
         rows.append(name)  # keeps the section's row order
         if skip_row(name):
@@ -347,13 +352,16 @@ def run_lgc(seeds: int) -> str:
                 s, accept, t = timed_halves(kernel, None, burn_in=0,
                                             num_samples=kept, seed=seed,
                                             init_state=st, seg=seg,
-                                            stream=stream)
+                                            parts=parts)
             else:
                 pos = init if init is not None else jnp.tile(prior, (chains, 1))
                 s, accept, t = timed_halves(kernel, pos, burn_in=burn,
                                             num_samples=kept, seed=seed,
-                                            seg=seg, stream=stream)
-            x = lift(s) if lift is not None else s
+                                            seg=seg, parts=parts)
+            if lift is not None:
+                x = [lift(p) for p in s] if parts else lift(s)
+            else:
+                x = s
             return {"latent": x}, accept, t
 
         try:
@@ -412,11 +420,11 @@ def run_lgc(seeds: int) -> str:
     # Constant-metric RMHMC == preconditioned HMC (LGC_RMHMC_LV.m:95-101).
     # 64 chains (VERDICT round-3 item 7): the (C, D) x (D, D) matvecs in
     # the leapfrog are MXU work whose utilization grows with C; kept
-    # samples (C x 5000 x 4096) stream to host per segment.
+    # samples (C x 5000 x 4096, 5.2 GB) stay on device as segment parts.
     measure("rmhmc (constant metric)",
             lambda _s: phmc.build(model, model.metric_chol, model.metric_inv,
                                   phmc.PHMCConfig(step_size=0.1, num_leapfrog=30)),
-            64, 1000, 1.5, seg=1250, stream=True)
+            64, 1000, 1.5, seg=1250, parts=True)
 
     got = recorded_rows("lgc", "latent")
     expected = len(rows)
