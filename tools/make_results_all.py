@@ -61,6 +61,7 @@ N_SEEDS = 3  # overridden by --seeds
 # assembles the section from all recorded rows.
 ONLY: str | None = None
 ROWS_FILE: Path | None = None
+FAILURES = 0  # rows whose measurement raised; drives a nonzero exit code
 
 
 N_SEEDS_ACTIVE = N_SEEDS  # set from --seeds; stamped into sidecar records
@@ -228,9 +229,14 @@ def repeated(run_one, seeds: int):
     per_group: dict[str, list] = {}
     for s in range(seeds):
         groups, accept, t = run_one(s)
-        for g, samp in groups.items():
+        for g in list(groups):
+            # pop so no reference (dict or loop variable) keeps this
+            # seed's multi-GB kept-sample parts alive while the NEXT
+            # seed's sampling allocates its own -- that overlap is what
+            # OOM'd 64-chain StochVol rows at seeds >= 1.
+            samp = groups.pop(g)
             per_group.setdefault(g, []).append((ess_stats(samp), accept, t))
-        del groups
+            del samp
     return {g: aggregate_rows(v) for g, v in per_group.items()}
 
 
@@ -290,6 +296,8 @@ def run_stochvol(seeds: int) -> str:
         try:
             agg = repeated(run_one, seeds)
         except Exception as e:
+            global FAILURES
+            FAILURES += 1
             print(f"    FAILED: {e}", flush=True)
             continue
         record_row("stochvol", "hyper", name, row(name, chains, kept, agg["hyper"], paper_h))
@@ -367,6 +375,8 @@ def run_lgc(seeds: int) -> str:
         try:
             agg = repeated(run_one, seeds)
         except Exception as e:
+            global FAILURES
+            FAILURES += 1
             print(f"    FAILED: {e}", flush=True)
             return
         record_row("lgc", "latent", name,
@@ -500,6 +510,8 @@ def run_fhn(seeds: int) -> str:
         try:
             agg = repeated(run_one, n_seeds)
         except Exception as e:
+            global FAILURES
+            FAILURES += 1
             print(f"    FAILED: {e}", flush=True)
             continue
         record_row("fhn", "params", name, row(name, chains, samples, agg["params"], paper))
@@ -577,6 +589,11 @@ def main() -> None:
         RESULTS.write_text(splice(text, name, section))
         print(f"=== wrote section {name} ({got}/{expected} rows) to {RESULTS}",
               flush=True)
+    if FAILURES:
+        # A failed row must fail the process: the campaign driver marks a
+        # stage done on exit 0, and a swallowed OOM would silently skip
+        # the row for the rest of the round.
+        sys.exit(f"{FAILURES} row(s) FAILED")
 
 
 if __name__ == "__main__":
