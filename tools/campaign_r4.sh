@@ -44,19 +44,21 @@ run fhn_rmhmc      5400 $MR --workload fhn --only rmhmc
 # --- Assemble the three sections (refuses partial tables) ------------
 run emit_all 600 $MR --emit-only
 
+# --- Native ESS engine evidence (short; banked before the long joint) -
+run ess_engine 3600 python tools/ess_engine_bench.py --dataset german
+
 # --- LGC joint (sigma^2, beta, x) at 64x64: the ~90-CPU-hour config ---
-# Stage 1 runs rmhmc to disk checkpoints (no splice); stage 2 resumes it
-# instantly from those checkpoints, runs mmala, and splices BOTH rows.
+# Stage 1 runs rmhmc and splices an rmhmc-only section (so a measured
+# lgc-joint section exists even if the round ends here); stage 2 resumes
+# rmhmc instantly from the disk checkpoints, runs mmala, and re-splices
+# the section with BOTH rows.
 run lgc_joint_rmhmc 7200 python tools/run_lgc_joint.py --method rmhmc \
-    --chains 4 --samples 5000 --burn-in 1000 --seg 100 --no-splice
+    --chains 4 --samples 5000 --burn-in 1000 --seg 100
 run lgc_joint_both 10800 python tools/run_lgc_joint.py --method both \
     --chains 4 --samples 5000 --burn-in 1000 --seg 100
 
 # --- Adaptive-vs-preset (paper Table 2 claim) -------------------------
 run adaptive_german     5400 python tools/make_results_adaptive.py --dataset german
 run adaptive_australian 5400 python tools/make_results_adaptive.py --dataset australian
-
-# --- Native ESS engine evidence ---------------------------------------
-run ess_engine 3600 python tools/ess_engine_bench.py --dataset german
 
 echo "== campaign complete $(date +%H:%M:%S)" | tee -a $LOG/driver.log
