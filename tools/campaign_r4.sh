@@ -28,7 +28,7 @@ run sv_mmala 7200 $MR --workload stochvol --only mmala
 run sv_rmhmc 9000 $MR --workload stochvol --only rmhmc
 
 # --- LGC (Table 10): 4 rows ------------------------------------------
-run lgc_mala_t 3600 $MR --workload lgc --only "mala (transient)"
+run lgc_mala_t 3600 $MR --workload lgc --only "mala (transient, adapted eps)"
 run lgc_mala_s 3600 $MR --workload lgc --only "mala (stationary, adapted eps)"
 run lgc_mmala  5400 $MR --workload lgc --only mmala
 run lgc_rmhmc  5400 $MR --workload lgc --only "rmhmc (constant metric)"

@@ -383,28 +383,29 @@ def run_lgc(seeds: int) -> str:
                    row(name, chains, kept, agg["latent"], paper))
         print("   ", recorded_rows("lgc", "latent")[name], flush=True)
 
-    # Whitened MALA, transient tuning (LGC_MALA_Transient.m:32-33).
-    wh = model.whitened()
-    lift = jax.jit(jax.vmap(wh.to_x))
-    measure("mala (transient)",
-            lambda _s: mala.build(wh, mala.MALAConfig(step_size=2.0, transient=True)),
-            16, 1000, 10605, init=jnp.zeros((16, model.dim)), lift=lift)
-
-    # Stationary phase: dual-averaged step (see round-2 note: the paper's
-    # eps is tuned for the authors' position-dependent whitening, which
-    # does an O(D^3) re-Cholesky per step; ours is the fixed prior
-    # Cholesky, so the constant does not transfer and the step is adapted
-    # to the 0.574 Langevin optimum during warmup, then frozen).
+    # Whitened MALA, both scaling laws (LGC_MALA_Transient.m:32-33 /
+    # LGC_MALA_Stationary.m:32-33).  The paper's eps constants are tuned
+    # for the authors' position-dependent whitening, which re-Choleskys
+    # Omega = (Sigma^-1 + diag(x))^-1 EVERY step (O(D^3),
+    # LGC_MALA_Transient.m:106-107 -- why their MALA costs 31577 s);
+    # ours is the fixed prior Cholesky, so the constants do not transfer
+    # (on the authors' TestData64.mat, eps=2 under the fixed whitening
+    # accepts nothing).  Each row therefore keeps the paper's SCALING LAW
+    # (transient (N^2)^(1/2) vs stationary (N^2)^(1/3)) and dual-averages
+    # the base eps to the 0.574 Langevin optimum during warmup, frozen
+    # before timing -- zero hand tuning.
     import dataclasses as _dc
 
     from riemannhamiltonianmontecarlo_tpu.parallel import (
         AdaptationConfig, adaptive, frozen_step_size,
     )
 
+    wh = model.whitened()
+    lift = jax.jit(jax.vmap(wh.to_x))
     eps_holder = {}
 
-    def make_stationary(seed):
-        cfg0 = mala.MALAConfig(step_size=0.5)
+    def make_mala(seed, transient):
+        cfg0 = mala.MALAConfig(step_size=0.5, transient=transient)
         warm_kernel = adaptive(mala.build, wh, cfg0,
                                AdaptationConfig(target_accept=0.574))
         warm = parallel.run(warm_kernel, jax.random.key(100 + seed),
@@ -414,7 +415,12 @@ def run_lgc(seeds: int) -> str:
         eps_holder[seed] = (eps, warm.final_state.inner)
         return mala.build(wh, _dc.replace(cfg0, step_size=eps))
 
-    measure("mala (stationary, adapted eps)", make_stationary, 16, 0, 7836,
+    measure("mala (transient, adapted eps)",
+            lambda seed: make_mala(seed, True), 16, 0, 10605,
+            lift=lift, warm_state_fn=lambda k, seed: eps_holder[seed][1])
+
+    measure("mala (stationary, adapted eps)",
+            lambda seed: make_mala(seed, False), 16, 0, 7836,
             lift=lift, warm_state_fn=lambda k, seed: eps_holder[seed][1])
 
     # mMALA with the position-dependent metric (LGC_mMALA_LV.m:31-34).
@@ -446,8 +452,14 @@ def run_lgc(seeds: int) -> str:
         "(Log_Gaussian_Cox/*/LGC_*.m)\nwith the reference's 5000 kept "
         f"samples per chain (LGC_RMHMC_LV.m:30-31); mean ±\nstderr over "
         f"{seeds} seeds.  ESS over all 4096 field coordinates (whitened-MALA "
-        "ESS\nmeasured on the field x = mu + L gamma).  Paper column: "
-        "Table 10.\n\n" + HEADER + "\n" + "\n".join(rows)
+        "ESS\nmeasured on the field x = mu + L gamma).  The two MALA rows "
+        "keep the paper's\ntransient/stationary scaling laws but "
+        "dual-average the base eps during warmup\n(frozen before timing): "
+        "the paper's eps constants are tuned to its\nposition-dependent "
+        "whitening, re-Choleskyed every step (O(D^3),\n"
+        "LGC_MALA_Transient.m:106-107), and under our fixed prior "
+        "whitening they\naccept nothing on the authors' data.  Paper "
+        "column: Table 10.\n\n" + HEADER + "\n" + "\n".join(rows)
     )
 
 
