@@ -508,13 +508,15 @@ def run_fhn(seeds: int) -> str:
             continue
         print(f"--- fhn/{name} ({chains} chains x {samples}, {seeds} seeds)",
               flush=True)
+        kernel = build()  # hoisted: per-seed rebuild re-traces the ODE
+        # jacfwd graph (minutes of XLA compile each) for zero benefit.
 
-        def run_one(seed, build=build, chains=chains, samples=samples,
+        def run_one(seed, kernel=kernel, chains=chains, samples=samples,
                     burn=burn, seg=seg):
             init = jnp.tile(theta0, (chains, 1)) * (
                 1.0 + 0.05 * jax.random.normal(jax.random.key(11 + seed),
                                                (chains, 3)))
-            s, accept, t = timed_halves(build(), init, burn_in=burn,
+            s, accept, t = timed_halves(kernel, init, burn_in=burn,
                                         num_samples=samples, seed=seed, seg=seg)
             return {"params": s}, accept, t
 
