@@ -54,11 +54,14 @@ run ess_engine 3600 python tools/ess_engine_bench.py --dataset german
 # the section with BOTH rows.
 run lgc_joint_rmhmc 7200 python tools/run_lgc_joint.py --method rmhmc \
     --chains 4 --samples 5000 --burn-in 1000 --seg 100
+
+# --- Adaptive-vs-preset (paper Table 2 claim; 3rd-round ask) ----------
+run adaptive_german     5400 python tools/make_results_adaptive.py --dataset german
+
+# Resumes rmhmc instantly from its checkpoints, runs mmala, re-splices.
 run lgc_joint_both 10800 python tools/run_lgc_joint.py --method both \
     --chains 4 --samples 5000 --burn-in 1000 --seg 100
 
-# --- Adaptive-vs-preset (paper Table 2 claim) -------------------------
-run adaptive_german     5400 python tools/make_results_adaptive.py --dataset german
 run adaptive_australian 5400 python tools/make_results_adaptive.py --dataset australian
 
 echo "== campaign complete $(date +%H:%M:%S)" | tee -a $LOG/driver.log
