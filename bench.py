@@ -68,7 +68,7 @@ def measure_baseline() -> tuple[float, dict]:
     fp = host_fingerprint()
     if BASELINE_CACHE.exists():
         cache = json.loads(BASELINE_CACHE.read_text())
-        if cache.get("host") == fp:
+        if cache.get("host") == fp and "repeats" in cache:
             return cache["ess_per_sec"], cache
         print(f"bench: baseline cache host mismatch "
               f"({cache.get('host')!r} != {fp!r}); re-measuring",
@@ -86,17 +86,28 @@ def measure_baseline() -> tuple[float, dict]:
     from riemannhamiltonianmontecarlo_tpu.models import load_dataset
 
     ds = load_dataset("australian")
-    np.random.seed(0)
     burn, iters = 200, 900  # shortened; ESS/s is per-sample rate, scale-free
-    with contextlib.redirect_stdout(io.StringIO()):
-        samples, time_taken = ref.RMHMC(
-            ds.X, ds.t.reshape(-1, 1), NumOfIterations=iters, BurnIn=burn
-        )
     from riemannhamiltonianmontecarlo_tpu.diagnostics import ess_geyer
 
-    ess = ess_geyer(samples, samples.shape[0] - 1)
-    value = float(ess.min() / time_taken)
+    # Best-of-3 (VERDICT round-4 item 6): the denominator is a NumPy run
+    # on a 2-vCPU VM whose wall-clock wobbles with host load; the same
+    # seed makes the chain (and its ESS) identical across repeats, so the
+    # repeats isolate pure timing noise.  Using the FASTEST repeat is the
+    # conservative choice (largest denominator -> smallest vs_baseline);
+    # the spread is cached and echoed so the residual noise is visible.
+    values = []
+    for _ in range(3):
+        np.random.seed(0)
+        with contextlib.redirect_stdout(io.StringIO()):
+            samples, time_taken = ref.RMHMC(
+                ds.X, ds.t.reshape(-1, 1), NumOfIterations=iters, BurnIn=burn
+            )
+        ess = ess_geyer(samples, samples.shape[0] - 1)
+        values.append(float(ess.min() / time_taken))
+    value = max(values)  # fastest run
     cache = {"ess_per_sec": value, "iters": iters, "burn": burn,
+             "repeats": [round(v, 3) for v in values],
+             "spread_pct": round(100.0 * (max(values) - min(values)) / max(values), 2),
              "host": host_fingerprint(),
              "measured_on": time.strftime("%Y-%m-%d %H:%M:%S")}
     BASELINE_CACHE.write_text(json.dumps(cache))
@@ -222,6 +233,8 @@ def main() -> None:
         "baseline_ess_per_sec": round(baseline, 3),
         "baseline_host": base_meta.get("host"),
         "baseline_measured_on": base_meta.get("measured_on"),
+        "baseline_repeats": base_meta.get("repeats"),
+        "baseline_spread_pct": base_meta.get("spread_pct"),
     }
     n_data, d = ds.X.shape[0], ds.X.shape[1]
     step_flops = rmhmc_step_flops(n_data, d)

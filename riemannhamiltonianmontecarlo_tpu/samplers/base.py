@@ -33,11 +33,20 @@ Array = jax.Array
 
 
 class Info(NamedTuple):
-    """Per-step, per-chain diagnostics emitted by every kernel."""
+    """Per-step, per-chain diagnostics emitted by every kernel.
 
-    accept_prob: Array  # (C,) min(1, exp(ratio)) -- or sweep mean for Gibbs-style kernels
-    accepted: Array  # (C,) bool/float: whether the proposal was taken
-    divergent: Array  # (C,) bool: non-finite proposal was masked to a rejection
+    Multi-block kernels (two-block StochVol / joint-LGC sweeps,
+    coordinate-sweep Metropolis/Gibbs) report every field at SWEEP level
+    with one consistent rule: ``accept_prob`` and ``accepted`` are the
+    mean over the sweep's proposals (so ``accepted`` is a float fraction,
+    e.g. {0, 0.5, 1} for two blocks), and ``divergent`` is true if any
+    proposal in the sweep diverged.  Single-proposal kernels degenerate
+    to the usual semantics (``accepted`` in {0, 1}).
+    """
+
+    accept_prob: Array  # (C,) mean over the step's proposals of min(1, exp(ratio))
+    accepted: Array  # (C,) fraction of the step's proposals taken ({0,1} single-proposal)
+    divergent: Array  # (C,) bool: any proposal this step was masked to a rejection
 
 
 class Kernel(NamedTuple):

@@ -131,7 +131,7 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
         ratio = (logp_prop - kinetic(p_prop)) - (logp0 - kinetic(p0))
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_prop), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
-        return jnp.where(accept[:, None], x_prop, x), accept_prob, divergent
+        return jnp.where(accept[:, None], x_prop, x), accept, accept_prob, divergent
 
     def latent_mmala_update(key: Array, x: Array, theta: Array):
         """Preconditioned MALA on x | theta (LGC_mMALA_Paras_LV.m:353-375).
@@ -169,7 +169,7 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
         ratio = logp_new + log_q_rev - logp0 - log_q_fwd
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
-        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+        return jnp.where(accept[:, None], x_new, x), accept, accept_prob, divergent
 
     if config.method == "mmala":
         from riemannhamiltonianmontecarlo_tpu.samplers import mmala as mmala_mod
@@ -198,14 +198,18 @@ def build(model, config: LGCJointConfig = LGCJointConfig()) -> Kernel:
 
         # Block 2: latents at the current hyperparameters.
         if config.method == "mmala":
-            x, lat_prob, lat_div = latent_mmala_update(k_latent, state.x, theta)
+            x, lat_acc, lat_prob, lat_div = latent_mmala_update(k_latent, state.x, theta)
         else:
-            x, lat_prob, lat_div = latent_update(k_latent, state.x, theta)
+            x, lat_acc, lat_prob, lat_div = latent_update(k_latent, state.x, theta)
 
         position = jnp.exp(theta)
+        # Sweep-level Info (VERDICT round-4 item 7): every field covers the
+        # whole two-block sweep -- accept_prob / accepted are the mean over
+        # blocks, divergent is true if ANY block diverged.
         info = Info(
             accept_prob=0.5 * (lat_prob + h_info.accept_prob),
-            accepted=h_info.accepted,
+            accepted=0.5 * (lat_acc.astype(x.dtype)
+                            + h_info.accepted.astype(x.dtype)),
             divergent=lat_div | h_info.divergent,
         )
         return LGCJointState(position, theta, x), info

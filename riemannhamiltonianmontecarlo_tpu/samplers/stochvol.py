@@ -102,7 +102,7 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         )
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
-        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+        return jnp.where(accept[:, None], x_new, x), accept, accept_prob, divergent
 
     def latent_update_mmala(key: Array, x: Array, theta: Array):
         """Tridiagonally-preconditioned MALA (StochVol_mMALA.m latents).
@@ -140,9 +140,9 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         )
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_new), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
-        return jnp.where(accept[:, None], x_new, x), accept_prob, divergent
+        return jnp.where(accept[:, None], x_new, x), accept, accept_prob, divergent
 
-    def latent_update(key: Array, x: Array, theta: Array) -> tuple[Array, Array, Array]:
+    def latent_update(key: Array, x: Array, theta: Array):
         if config.method == "mala":
             return latent_update_mala(key, x, theta)
         if config.method == "mmala":
@@ -197,13 +197,13 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
         divergent = ~(jnp.isfinite(ratio) & jnp.all(jnp.isfinite(x_prop), axis=-1))
         accept, accept_prob = metropolis_accept(k_acc, ratio, divergent)
         x_out = jnp.where(accept[:, None], x_prop, x)
-        return x_out, accept_prob, divergent
+        return x_out, accept, accept_prob, divergent
 
     def step(key: Array, state: StochVolState) -> tuple[StochVolState, Info]:
         k_latent, k_hyper = jax.random.split(key)
 
         # Block 1: latents.
-        x, lat_prob, lat_div = latent_update(k_latent, state.x, state.theta)
+        x, lat_acc, lat_prob, lat_div = latent_update(k_latent, state.x, state.theta)
 
         # Block 2: hyperparameters via a generic kernel on the conditional
         # manifold model (method-selected comparator, Tables 8-9).
@@ -245,9 +245,15 @@ def build(model, config: StochVolConfig = StochVolConfig()) -> Kernel:
 
         beta, sigma, phi = model.constrain(theta)
         position = jnp.stack([beta, sigma, phi], axis=-1)
+        # Sweep-level Info (VERDICT round-4 item 7): for a two-block Gibbs
+        # sweep every field covers the WHOLE sweep -- accept_prob / accepted
+        # are the mean over blocks (accepted in {0, 0.5, 1}), divergent is
+        # true if ANY block diverged.  Asserted by
+        # tests/test_stochvol.py::test_two_block_info_semantics.
         info = Info(
             accept_prob=0.5 * (lat_prob + h_info.accept_prob),
-            accepted=h_info.accepted,
+            accepted=0.5 * (lat_acc.astype(x.dtype)
+                            + h_info.accepted.astype(x.dtype)),
             divergent=lat_div | h_info.divergent,
         )
         return StochVolState(position, theta, x), info

@@ -80,3 +80,18 @@ def test_rhat_odd_length_drops_middle_sample():
     # Same order of magnitude; both near 1. The odd case must not crash.
     np.testing.assert_allclose(r_odd, 1.0, atol=0.02)
     np.testing.assert_allclose(r_even, 1.0, atol=0.02)
+
+
+def test_parts_matches_host():
+    """Segment-parts split-R-hat == dense f64 host R-hat (the parts
+    representation is how multi-GB kept-sample trajectories reach the
+    RESULTS.md divergent/R-hat columns)."""
+    from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import split_rhat_parts
+
+    rng = np.random.default_rng(5)
+    x = _chains(rng, 6, 900, 4, offsets=[0.0, 0.5, 1.0, 1.5, 2.0, 2.5])
+    cuts = [0, 250, 251, 700, 900]  # uneven parts incl. a 1-sample segment
+    parts = [jnp.asarray(x[:, lo:hi], jnp.float32)
+             for lo, hi in zip(cuts[:-1], cuts[1:])]
+    np.testing.assert_allclose(
+        split_rhat_parts(parts), split_rhat(x), rtol=1e-3, atol=1e-4)

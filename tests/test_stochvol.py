@@ -96,3 +96,22 @@ def test_comparator_methods_run(model, method):
     samples = np.asarray(res.samples)
     assert np.isfinite(samples).all()
     assert float(res.accept_rate) > 0.05
+
+
+def test_two_block_info_semantics(model):
+    """Sweep-level Info (VERDICT round-4 item 7): with the latent step tiny
+    (block accepts ~always) and the hyper step enormous (block rejects
+    ~always), ``accepted`` must sit near 0.5 -- the mean over the two
+    blocks -- not near 0 (the old hyper-only semantics)."""
+    cfg = sv_kernel.StochVolConfig(
+        method="mala", latent_step_size=1e-5, hyper_step_size=50.0)
+    kernel = sv_kernel.build(model, cfg)
+    init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (32, 1))
+    state = kernel.init(init)
+    accepted = []
+    for i in range(20):
+        state, info = jax.jit(kernel.step)(jax.random.key(i), state)
+        assert info.accepted.shape == (32,)
+        accepted.append(np.asarray(info.accepted))
+    mean_acc = float(np.mean(accepted))
+    assert 0.4 < mean_acc < 0.62, mean_acc  # latent ~1, hyper ~0 -> ~0.5

@@ -72,9 +72,10 @@ TABLE_NO = {"australian": 3, "german": 4, "pima": 5, "heart": 6, "ripley": 7}
 SEGMENT = {"gibbs": 500}
 DEFAULT_SEGMENT = 1250
 
-HEADER = ("| sampler | chains | samples | accept | total ESS (min, med, max) "
+HEADER = ("| sampler | chains | samples | accept | divergent | max R-hat "
+          "| total ESS (min, med, max) "
           "| time (s) | s/minESS | paper s/minESS | speedup |\n"
-          "|---|---|---|---|---|---|---|---|---|")
+          "|---|---|---|---|---|---|---|---|---|---|---|")
 
 
 def fmt(x: float) -> str:
@@ -102,13 +103,15 @@ def run_dataset(dataset: str) -> str:
                                  max_steps_per_call=SEGMENT.get(sampler, DEFAULT_SEGMENT))
         except Exception as e:  # keep the table going
             print(f"    FAILED: {e}", flush=True)
-            rows.append(f"| {sampler} | -- | -- | FAILED | | | | {paper} | |")
+            rows.append(f"| {sampler} | -- | -- | FAILED | | | | | | {paper} | |")
             continue
         print("   ", res.summary().splitlines()[2].strip(), flush=True)
         spm = res.time_per_min_ess
+        rhat = f"{res.rhat_max:.3f}" if np.isfinite(res.rhat_max) else "--"
         rows.append(
             f"| {sampler} | {res.num_chains} | {res.num_samples} | "
-            f"{res.accept_rate:.3f} | ({fmt(res.ess_min)}, {fmt(res.ess_median)}, "
+            f"{res.accept_rate:.3f} | {res.divergences} | {rhat} | "
+            f"({fmt(res.ess_min)}, {fmt(res.ess_median)}, "
             f"{fmt(res.ess_max)}) | {res.sampling_time_s:.3f} | {spm:.2e} | "
             f"{paper} | {paper / spm:,.0f}x |"
         )

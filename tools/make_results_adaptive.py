@@ -37,8 +37,9 @@ SAMPLERS = [
 ]
 
 HEADER = ("| sampler | chains | preset eps | preset s/minESS | adapted eps "
-          "| adapted accept | adapted s/minESS | adapted/preset |\n"
-          "|---|---|---|---|---|---|---|---|")
+          "| adapted accept | adapted s/minESS | adapted/preset "
+          "| divergent (preset/adapted) | max R-hat (preset/adapted) |\n"
+          "|---|---|---|---|---|---|---|---|---|---|")
 
 
 def main() -> None:
@@ -70,7 +71,9 @@ def main() -> None:
         rows.append(
             f"| {sampler} | {chains} | {preset_eps} | {pre.time_per_min_ess:.2e} "
             f"| {ada.adapted_step_size:.3g} | {ada.accept_rate:.3f} "
-            f"| {ada.time_per_min_ess:.2e} | {ratio:.2f}x |"
+            f"| {ada.time_per_min_ess:.2e} | {ratio:.2f}x "
+            f"| {pre.divergences}/{ada.divergences} "
+            f"| {pre.rhat_max:.3f}/{ada.rhat_max:.3f} |"
         )
         print("   ", rows[-1], flush=True)
 

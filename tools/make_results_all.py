@@ -40,6 +40,10 @@ from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import (
     ess_geyer_device,
     ess_geyer_device_parts,
 )
+from riemannhamiltonianmontecarlo_tpu.diagnostics.rhat import (
+    split_rhat_device,
+    split_rhat_parts,
+)
 from riemannhamiltonianmontecarlo_tpu.models import fhn, lgc, stochvol
 from riemannhamiltonianmontecarlo_tpu.samplers import (
     hmc,
@@ -106,7 +110,13 @@ def skip_row(name: str) -> bool:
 def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                  collect_fn=None, init_state=None, seg: int | None = None,
                  parts: bool = False):
-    """Warmup (untimed) then two sampling halves; returns (samples, accept, t).
+    """Warmup (untimed) then two sampling halves.
+
+    Returns (samples, accept, divergences, t) -- ``divergences`` is the
+    total divergent transitions over the whole sampling phase (both
+    halves), the per-row count VERDICT round-4 item 4 asks every table to
+    surface (reference analog: ``ODE_RMHMC.m:404-406`` failed-step
+    accounting).
 
     ``init_state`` skips the warmup (e.g. after an adaptive warmup whose
     state wrapper differs from the sampling kernel's).  ``seg`` bounds
@@ -132,8 +142,8 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
             jax.block_until_ready(jax.tree.leaves(
                 r.samples if collect else r.final_state)[0])
             samples = [r.samples] if (collect and parts) else r.samples
-            return r.final_state, samples, float(r.accept_rate)
-        outs, accs = [], []
+            return r.final_state, samples, float(r.accept_rate), int(r.divergences)
+        outs, accs, divs = [], [], 0
         for i in range(0, steps, seg):
             n = min(seg, steps - i)
             r = parallel.run(kernel, jax.random.fold_in(k, i),
@@ -142,6 +152,7 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
                              collect_fn=collect_fn if collect else None)
             state = r.final_state
             accs.append(float(r.accept_rate) * n)  # forces segment completion
+            divs += int(r.divergences)
             if collect:
                 outs.append(r.samples)
             jax.block_until_ready(jax.tree.leaves(state)[0])
@@ -151,17 +162,17 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
             samples = outs  # list of per-segment collect trees
         else:
             samples = jax.tree.map(lambda *a: jnp.concatenate(a, axis=1), *outs)
-        return state, samples, sum(accs) / steps
+        return state, samples, sum(accs) / steps, divs
 
     if init_state is not None:
-        state, _, _ = run_chunk(k_w, init_state, 1, False)
+        state, _, _, _ = run_chunk(k_w, init_state, 1, False)
     else:
-        state, _, _ = run_chunk(k_w, None, max(burn_in, 1), False, position=init)
+        state, _, _, _ = run_chunk(k_w, None, max(burn_in, 1), False, position=init)
 
     half = max(num_samples // 2, 1)
-    state, sa, acc_a = run_chunk(k_a, state, half, True)
+    state, sa, acc_a, div_a = run_chunk(k_a, state, half, True)
     t0 = time.perf_counter()
-    state, sb, acc_b = run_chunk(k_b, state, half, True)
+    state, sb, acc_b, div_b = run_chunk(k_b, state, half, True)
     t = 2.0 * (time.perf_counter() - t0)
 
     if parts:
@@ -169,7 +180,7 @@ def timed_halves(kernel, init, *, burn_in: int, num_samples: int, seed: int = 0,
     else:
         samples = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=1), sa, sb)
-    return samples, 0.5 * (acc_a + acc_b), t
+    return samples, 0.5 * (acc_a + acc_b), div_a + div_b, t
 
 
 def ess_stats(samples) -> tuple[float, float, float]:
@@ -185,62 +196,96 @@ def ess_stats(samples) -> tuple[float, float, float]:
     return float(ess.min()), float(np.median(ess)), float(ess.max())
 
 
+def rhat_max(samples) -> float:
+    """Max split-R-hat over coordinates; accepts the same array-or-parts
+    representations as ``ess_stats`` (single-chain rows return nan)."""
+    if isinstance(samples, list):
+        if samples[0].shape[0] < 2:
+            return float("nan")
+        return float(np.max(split_rhat_parts(samples)))
+    if samples.shape[0] < 2:
+        return float("nan")
+    return float(np.max(np.asarray(split_rhat_device(samples))))
+
+
 def fmt(x: float) -> str:
     return f"{x:.3g}" if abs(x) < 1000 else f"{x:,.0f}"
 
 
 def aggregate_rows(per_seed):
-    """per_seed: list of (ess_tuple, accept, t) -> dict of means + stderr.
+    """per_seed: list of (ess_tuple, rhat, accept, t, div) -> dict.
 
     Mean +- stderr over independent repeats, the reference's
-    CalculateStatistics.m:24-31 aggregation.
+    CalculateStatistics.m:24-31 aggregation.  Divergences total over all
+    seeds' sampling phases; R-hat is the worst (max) over seeds.
     """
     n = len(per_seed)
     ess = np.asarray([s[0] for s in per_seed], np.float64)  # (n, 3)
-    acc = np.asarray([s[1] for s in per_seed], np.float64)
-    ts = np.asarray([s[2] for s in per_seed], np.float64)
+    rh = np.asarray([s[1] for s in per_seed], np.float64)
+    acc = np.asarray([s[2] for s in per_seed], np.float64)
+    ts = np.asarray([s[3] for s in per_seed], np.float64)
+    div = int(sum(s[4] for s in per_seed))
     spm = ts / np.maximum(ess[:, 0], 1e-12)
     se = lambda v: float(v.std(ddof=1) / np.sqrt(n)) if n > 1 else 0.0  # noqa: E731
     return dict(
         ess_mean=ess.mean(0), accept=float(acc.mean()),
         t=float(ts.mean()), t_se=se(ts),
         spm=float(spm.mean()), spm_se=se(spm), n=n,
+        div=div, rhat=float(np.nanmax(rh)) if np.isfinite(rh).any() else float("nan"),
     )
 
 
 def row(name, chains, samples, agg, paper):
+    """``paper`` may be a float or a tuple of (label, value) pairs -- the
+    latter renders one measured row against several paper baselines (the
+    LGC whitened-MALA row vs the paper's transient AND stationary rows)."""
     mn, md, mx = agg["ess_mean"]
-    speedup = f"{paper / agg['spm']:,.0f}x" if paper else "--"
+    if isinstance(paper, tuple):
+        paper_cell = " / ".join(f"{v} ({lbl})" for lbl, v in paper)
+        speedup = " / ".join(f"{v / agg['spm']:,.0f}x" for _, v in paper)
+    else:
+        paper_cell = paper if paper else "--"
+        speedup = f"{paper / agg['spm']:,.0f}x" if paper else "--"
+    rhat = f"{agg['rhat']:.3f}" if np.isfinite(agg["rhat"]) else "--"
     return (f"| {name} | {chains} | {samples} | {agg['accept']:.3f} "
+            f"| {agg['div']} | {rhat} "
             f"| ({fmt(mn)}, {fmt(md)}, {fmt(mx)}) "
             f"| {agg['t']:.3f} ± {agg['t_se']:.3f} "
             f"| {agg['spm']:.3g} ± {agg['spm_se']:.2g} "
-            f"| {paper if paper else '--'} | {speedup} |")
+            f"| {paper_cell} | {speedup} |")
 
 
-HEADER = ("| sampler | chains | samples | accept | total ESS (min, med, max) "
+HEADER = ("| sampler | chains | samples | accept | divergent | max R-hat "
+          "| total ESS (min, med, max) "
           "| time (s) ± se | s/minESS ± se | paper s/minESS | speedup |\n"
-          "|---|---|---|---|---|---|---|---|---|")
+          "|---|---|---|---|---|---|---|---|---|---|---|")
 
 
 def repeated(run_one, seeds: int):
-    """run_one(seed) -> (samples_groups: dict, accept, t); returns
+    """run_one(seed) -> (samples_groups: dict, accept, div, t); returns
     {group: agg} computed per group over seeds."""
     per_group: dict[str, list] = {}
     for s in range(seeds):
-        groups, accept, t = run_one(s)
+        groups, accept, div, t = run_one(s)
         for g in list(groups):
             # pop so no reference (dict or loop variable) keeps this
             # seed's multi-GB kept-sample parts alive while the NEXT
             # seed's sampling allocates its own -- that overlap is what
             # OOM'd 64-chain StochVol rows at seeds >= 1.
             samp = groups.pop(g)
-            per_group.setdefault(g, []).append((ess_stats(samp), accept, t))
+            per_group.setdefault(g, []).append(
+                (ess_stats(samp), rhat_max(samp), accept, t, div))
             del samp
     return {g: aggregate_rows(v) for g, v in per_group.items()}
 
 
 # ---------------------------------------------------------------- StochVol
+
+def _collect_pos_x(st):
+    """Module-level so the jitted scan's static collect_fn hashes equal
+    across segments and seeds (an inline lambda forces a re-compile)."""
+    return (st.position, st.x)
+
 
 def run_stochvol(seeds: int) -> str:
     """Two tables: hyperparameters (Table 8) and latent volatilities (Table 9).
@@ -286,12 +331,12 @@ def run_stochvol(seeds: int) -> str:
 
         def run_one(seed, kernel=kernel, chains=chains, burn=burn, seg=seg):
             init = jnp.tile(jnp.asarray([0.5, 0.5, 0.5], jnp.float32), (chains, 1))
-            sparts, accept, t = timed_halves(
+            sparts, accept, div, t = timed_halves(
                 kernel, init, burn_in=burn, num_samples=kept, seed=seed,
-                collect_fn=lambda st: (st.position, st.x), seg=seg,
+                collect_fn=_collect_pos_x, seg=seg,
                 parts=True)
             return {"hyper": [p[0] for p in sparts],
-                    "latent": [p[1] for p in sparts]}, accept, t
+                    "latent": [p[1] for p in sparts]}, accept, div, t
 
         try:
             agg = repeated(run_one, seeds)
@@ -357,20 +402,20 @@ def run_lgc(seeds: int) -> str:
             kernel = make_kernel(seed)
             if warm_state_fn is not None:
                 st = warm_state_fn(kernel, seed)
-                s, accept, t = timed_halves(kernel, None, burn_in=0,
-                                            num_samples=kept, seed=seed,
-                                            init_state=st, seg=seg,
-                                            parts=parts)
+                s, accept, div, t = timed_halves(kernel, None, burn_in=0,
+                                                 num_samples=kept, seed=seed,
+                                                 init_state=st, seg=seg,
+                                                 parts=parts)
             else:
                 pos = init if init is not None else jnp.tile(prior, (chains, 1))
-                s, accept, t = timed_halves(kernel, pos, burn_in=burn,
-                                            num_samples=kept, seed=seed,
-                                            seg=seg, parts=parts)
+                s, accept, div, t = timed_halves(kernel, pos, burn_in=burn,
+                                                 num_samples=kept, seed=seed,
+                                                 seg=seg, parts=parts)
             if lift is not None:
                 x = [lift(p) for p in s] if parts else lift(s)
             else:
                 x = s
-            return {"latent": x}, accept, t
+            return {"latent": x}, accept, div, t
 
         try:
             agg = repeated(run_one, seeds)
@@ -383,17 +428,20 @@ def run_lgc(seeds: int) -> str:
                    row(name, chains, kept, agg["latent"], paper))
         print("   ", recorded_rows("lgc", "latent")[name], flush=True)
 
-    # Whitened MALA, both scaling laws (LGC_MALA_Transient.m:32-33 /
-    # LGC_MALA_Stationary.m:32-33).  The paper's eps constants are tuned
-    # for the authors' position-dependent whitening, which re-Choleskys
-    # Omega = (Sigma^-1 + diag(x))^-1 EVERY step (O(D^3),
-    # LGC_MALA_Transient.m:106-107 -- why their MALA costs 31577 s);
-    # ours is the fixed prior Cholesky, so the constants do not transfer
-    # (on the authors' TestData64.mat, eps=2 under the fixed whitening
-    # accepts nothing).  Each row therefore keeps the paper's SCALING LAW
-    # (transient (N^2)^(1/2) vs stationary (N^2)^(1/3)) and dual-averages
-    # the base eps to the 0.574 Langevin optimum during warmup, frozen
-    # before timing -- zero hand tuning.
+    # Whitened MALA (LGC_MALA_Transient.m:32-33 / LGC_MALA_Stationary.m:32-33),
+    # ONE measured row against BOTH paper baselines.  The paper's two rows
+    # differ only in the hand-tuned step-size schedule (transient
+    # (N^2)^(1/2) vs stationary (N^2)^(1/3) scaling); we dual-average the
+    # base eps to the 0.574 Langevin optimum during warmup (frozen before
+    # timing), which absorbs the scaling-law constant into the adapted
+    # step -- round-4 measured both schedules at identical accept 0.574
+    # and ESS within noise, so two rows would report one measurement twice
+    # (VERDICT round-4 item 5 / ADVICE).  The paper's eps constants
+    # themselves do not transfer: they are tuned to the authors'
+    # position-dependent whitening, re-Choleskyed EVERY step (O(D^3),
+    # LGC_MALA_Transient.m:106-107 -- why their MALA costs 31577 s), and
+    # under our fixed prior whitening they accept nothing on the authors'
+    # data.
     import dataclasses as _dc
 
     from riemannhamiltonianmontecarlo_tpu.parallel import (
@@ -404,8 +452,8 @@ def run_lgc(seeds: int) -> str:
     lift = jax.jit(jax.vmap(wh.to_x))
     eps_holder = {}
 
-    def make_mala(seed, transient):
-        cfg0 = mala.MALAConfig(step_size=0.5, transient=transient)
+    def make_mala(seed):
+        cfg0 = mala.MALAConfig(step_size=0.5, transient=False)
         warm_kernel = adaptive(mala.build, wh, cfg0,
                                AdaptationConfig(target_accept=0.574))
         warm = parallel.run(warm_kernel, jax.random.key(100 + seed),
@@ -415,12 +463,8 @@ def run_lgc(seeds: int) -> str:
         eps_holder[seed] = (eps, warm.final_state.inner)
         return mala.build(wh, _dc.replace(cfg0, step_size=eps))
 
-    measure("mala (transient, adapted eps)",
-            lambda seed: make_mala(seed, True), 16, 0, 10605,
-            lift=lift, warm_state_fn=lambda k, seed: eps_holder[seed][1])
-
-    measure("mala (stationary, adapted eps)",
-            lambda seed: make_mala(seed, False), 16, 0, 7836,
+    measure("mala (whitened, adapted eps)", make_mala, 16, 0,
+            (("transient", 10605), ("stationary", 7836)),
             lift=lift, warm_state_fn=lambda k, seed: eps_holder[seed][1])
 
     # mMALA with the position-dependent metric (LGC_mMALA_LV.m:31-34).
@@ -452,13 +496,17 @@ def run_lgc(seeds: int) -> str:
         "(Log_Gaussian_Cox/*/LGC_*.m)\nwith the reference's 5000 kept "
         f"samples per chain (LGC_RMHMC_LV.m:30-31); mean ±\nstderr over "
         f"{seeds} seeds.  ESS over all 4096 field coordinates (whitened-MALA "
-        "ESS\nmeasured on the field x = mu + L gamma).  The two MALA rows "
-        "keep the paper's\ntransient/stationary scaling laws but "
-        "dual-average the base eps during warmup\n(frozen before timing): "
-        "the paper's eps constants are tuned to its\nposition-dependent "
-        "whitening, re-Choleskyed every step (O(D^3),\n"
-        "LGC_MALA_Transient.m:106-107), and under our fixed prior "
-        "whitening they\naccept nothing on the authors' data.  Paper "
+        "ESS\nmeasured on the field x = mu + L gamma).  The whitened-MALA "
+        "row is ONE\nmeasurement compared against BOTH paper MALA rows: "
+        "the paper's transient vs\nstationary rows differ only in the "
+        "hand-tuned step-size schedule, and after\ndual-averaging the base "
+        "eps to the 0.574 Langevin optimum during warmup\n(frozen before "
+        "timing) the two schedules measure identically (round 4: "
+        "accept\n0.574 both, ESS within noise).  The paper's eps constants "
+        "themselves do not\ntransfer: they are tuned to its "
+        "position-dependent whitening, re-Choleskyed\nevery step (O(D^3), "
+        "LGC_MALA_Transient.m:106-107), and under our fixed prior\n"
+        "whitening they accept nothing on the authors' data.  Paper "
         "column: Table 10.\n\n" + HEADER + "\n" + "\n".join(rows)
     )
 
@@ -516,9 +564,10 @@ def run_fhn(seeds: int) -> str:
             init = jnp.tile(theta0, (chains, 1)) * (
                 1.0 + 0.05 * jax.random.normal(jax.random.key(11 + seed),
                                                (chains, 3)))
-            s, accept, t = timed_halves(kernel, init, burn_in=burn,
-                                        num_samples=samples, seed=seed, seg=seg)
-            return {"params": s}, accept, t
+            s, accept, div, t = timed_halves(kernel, init, burn_in=burn,
+                                             num_samples=samples, seed=seed,
+                                             seg=seg)
+            return {"params": s}, accept, div, t
 
         n_seeds = seeds if name != "hmc" else max(seeds, 1)
         try:

@@ -43,9 +43,16 @@ from riemannhamiltonianmontecarlo_tpu.samplers import lgc_joint
 RESULTS = Path(__file__).resolve().parents[1] / "RESULTS.md"
 PAPER_SECONDS_PER_SAMPLE = 324000.0 / 5000.0  # ~90 h / 5000 samples
 
-HEADER = ("| sampler | chains | samples | accept | block | total ESS "
+HEADER = ("| sampler | chains | samples | accept | divergent | block | total ESS "
           "(min, med, max) | s/minESS | wall (s) | s/sample | paper s/sample "
-          "| speedup |\n|---|---|---|---|---|---|---|---|---|---|---|")
+          "| speedup |\n|---|---|---|---|---|---|---|---|---|---|---|---|")
+
+
+def _collect_theta_x(st):
+    """Module-level so the jitted scan's static collect_fn hashes equal
+    across segments -- an inline lambda forced a full XLA recompile of the
+    D=4096 program on EVERY collecting segment (~170 s each in round 4)."""
+    return (st.position, st.x)
 
 
 def run_segmented(kernel, init, *, burn_in, num_samples, seg, seed, ckpt_dir,
@@ -65,12 +72,13 @@ def run_segmented(kernel, init, *, burn_in, num_samples, seg, seed, ckpt_dir,
     n_seg = -(-total // seg)
 
     start_seg, state, seg_times = 0, None, []
-    theta_parts, x_parts, acc = [], [], []
+    theta_parts, x_parts, acc, divs = [], [], [], []
     if meta_f.exists():
         meta = json.loads(meta_f.read_text())
         start_seg = meta["next_seg"]
         seg_times = meta["seg_times"]
         acc = meta["acc"]
+        divs = meta.get("divs", [])
         with np.load(state_f) as d:
             flat = [jnp.asarray(d[f"leaf_{i}"]) for i in range(d["n_leaves"])]
         probe = kernel.init(init)
@@ -93,7 +101,7 @@ def run_segmented(kernel, init, *, burn_in, num_samples, seg, seed, ckpt_dir,
             init if state is None else None,
             num_samples=n, collect=collecting,
             init_state=state,
-            collect_fn=(lambda st: (st.position, st.x)) if collecting else None,
+            collect_fn=_collect_theta_x if collecting else None,
         )
         state = r.final_state
         jax.block_until_ready(jax.tree.leaves(state)[0])
@@ -107,11 +115,13 @@ def run_segmented(kernel, init, *, burn_in, num_samples, seg, seed, ckpt_dir,
             np.savez(ckpt_dir / f"{tag}.seg{i}.npz", theta=theta_np, x=x_np)
             seg_times.append(dt)
             acc.append(float(r.accept_rate) * n)
+            divs.append(int(r.divergences))
         flat = jax.tree.leaves(state)
         np.savez(state_f, n_leaves=len(flat),
                  **{f"leaf_{j}": np.asarray(leaf) for j, leaf in enumerate(flat)})
         meta_f.write_text(json.dumps(
-            {"next_seg": i + 1, "seg_times": seg_times, "acc": acc}))
+            {"next_seg": i + 1, "seg_times": seg_times, "acc": acc,
+             "divs": divs}))
         done = sum(p.shape[1] for p in theta_parts)
         print(f"[{tag}] seg {i + 1}/{n_seg}  {dt:.1f}s  "
               f"accept={float(r.accept_rate):.3f}  kept={done}/{num_samples}",
@@ -124,7 +134,7 @@ def run_segmented(kernel, init, *, burn_in, num_samples, seg, seed, ckpt_dir,
     steady = float(np.median(seg_times[1:])) if len(seg_times) > 1 else seg_times[0]
     t_sampling = steady * len(seg_times)
     accept = sum(acc) / max(theta.shape[1], 1)
-    return theta, x, accept, t_sampling
+    return theta, x, accept, sum(divs), t_sampling
 
 
 def fmt(v: float) -> str:
@@ -199,7 +209,7 @@ def main() -> None:
             continue
 
         tag = f"{method}_c{args.chains}_n{args.n}_s{args.samples}"
-        theta, x, accept, t = run_segmented(
+        theta, x, accept, n_div, t = run_segmented(
             kernel, init, burn_in=args.burn_in, num_samples=args.samples,
             seg=args.seg, seed=args.seed, ckpt_dir=args.ckpt_dir, tag=tag)
 
@@ -218,14 +228,30 @@ def main() -> None:
             spm = t / mn if mn > 0 else float("inf")
             rows.append(
                 f"| {method}_joint | {args.chains} | {theta.shape[1]} | "
-                f"{accept:.3f} | {block} | ({fmt(mn)}, {fmt(md)}, {fmt(mx)}) "
+                f"{accept:.3f} | {n_div} | {block} | "
+                f"({fmt(mn)}, {fmt(md)}, {fmt(mx)}) "
                 f"| {spm:.3g} | {t:.1f} | {s_per_sample:.3g} | "
                 f"{PAPER_SECONDS_PER_SAMPLE:.1f} | "
                 f"{PAPER_SECONDS_PER_SAMPLE / s_per_sample:,.0f}x |")
             print(rows[-1], flush=True)
 
+        # Sidecar record so later single-method invocations re-splice the
+        # FULL section instead of overwriting it with their own rows only
+        # (advisor round-4 finding: `--method mmala` after a completed
+        # rmhmc run must not drop the rmhmc rows).
+        rec_f = Path(args.ckpt_dir) / "rows.json"
+        recs = json.loads(rec_f.read_text()) if rec_f.exists() else {}
+        recs[method] = {"rows": rows[-2:], "sanity": sanity[-1]}
+        rec_f.write_text(json.dumps(recs, indent=1))
+
     if args.calibrate or args.no_splice:
         return
+
+    # Merge every method recorded so far (this run's plus any prior run's).
+    rec_f = Path(args.ckpt_dir) / "rows.json"
+    recs = json.loads(rec_f.read_text()) if rec_f.exists() else {}
+    rows = [r for m in ("rmhmc", "mmala") if m in recs for r in recs[m]["rows"]]
+    sanity = [recs[m]["sanity"] for m in ("rmhmc", "mmala") if m in recs]
 
     section = (
         f"## LGC joint (sigma^2, beta, x) inference -- {args.n}x{args.n} grid "
