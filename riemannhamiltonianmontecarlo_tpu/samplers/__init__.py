@@ -9,6 +9,7 @@ from riemannhamiltonianmontecarlo_tpu.samplers import (
     metropolis,
     mmala,
     phmc,
+    pmala,
     rmhmc,
     stochvol,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "metropolis",
     "mmala",
     "phmc",
+    "pmala",
     "rmhmc",
     "stochvol",
     "Info",

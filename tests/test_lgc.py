@@ -328,3 +328,31 @@ def test_lgc_joint_hyper_conditional_concentrates():
     # and the posterior is actually informative, not the prior: the
     # Gamma(2, 0.5) prior sd of log sigma^2 is ~0.8
     assert np.all(sd < 0.5), sd
+
+
+def test_lgc_pmala_matches_phmc_posterior(small_model):
+    """Constant-metric mMALA (LGC_mMALA_LV.m:85-129): exact MH with the
+    frozen-metric Langevin proposal must agree with the phmc oracle's
+    posterior mean on the same model, accept in a healthy window, and
+    never diverge."""
+    from riemannhamiltonianmontecarlo_tpu.samplers import pmala
+
+    model, x_true = small_model
+    kernel = pmala.build(model, model.metric_chol, model.metric_inv,
+                         pmala.PMALAConfig(step_size=0.07))
+    c = 16
+    init = jnp.tile(model.prior_mean(), (c, 1))
+    res = run(kernel, jax.random.key(3), init, num_samples=600, burn_in=400)
+    assert 0.3 < float(res.accept_rate) < 0.99, float(res.accept_rate)
+    assert int(res.divergences) == 0
+    mean_pmala = np.asarray(res.samples).reshape(-1, model.dim).mean(0)
+
+    oracle = phmc.build(model, model.metric_chol, model.metric_inv,
+                        phmc.PHMCConfig(step_size=0.1, num_leapfrog=15))
+    res_o = run(oracle, jax.random.key(4), init, num_samples=400, burn_in=200)
+    mean_o = np.asarray(res_o.samples).reshape(-1, model.dim).mean(0)
+    # Same posterior: field means agree to Monte-Carlo error.
+    err = np.abs(mean_pmala - mean_o).mean()
+    assert err < 0.25, err
+    corr = np.corrcoef(mean_pmala, x_true)[0, 1]
+    assert corr > 0.5, corr

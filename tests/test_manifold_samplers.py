@@ -142,3 +142,22 @@ def test_studentt_rmhmc_blr_matches_hmc(blr, blr_hmc_moments):
     mean, _ = _moments(res.samples)
     assert float(res.accept_rate) > 0.3
     np.testing.assert_allclose(mean, hmc_mean, atol=6 * np.max(hmc_std) / np.sqrt(48))
+
+
+def test_pmala_exact_moments_gaussian(gaussian):
+    """Constant-metric mMALA (samplers/pmala.py, LGC_mMALA_LV.m contract)
+    must reproduce the exact moments of a Gaussian target when
+    preconditioned by its own precision."""
+    from riemannhamiltonianmontecarlo_tpu.samplers import pmala
+
+    prec64 = np.linalg.inv(gaussian.cov)
+    mass_chol = jnp.asarray(np.linalg.cholesky(prec64), jnp.float32)
+    kernel = pmala.build(gaussian, mass_chol, jnp.asarray(gaussian.cov, jnp.float32),
+                         pmala.PMALAConfig(step_size=1.0))
+    c = 256
+    init = jnp.zeros((c, gaussian.dim))
+    res = run(kernel, jax.random.key(9), init, num_samples=1500, burn_in=500)
+    assert 0.4 < float(res.accept_rate) < 0.99
+    s = np.asarray(res.samples, np.float64).reshape(-1, gaussian.dim)
+    np.testing.assert_allclose(s.mean(0), np.asarray(gaussian.mean), atol=0.05)
+    np.testing.assert_allclose(np.cov(s.T), gaussian.cov, atol=0.12)
