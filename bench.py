@@ -247,8 +247,39 @@ def main() -> None:
     # and per-step dispatch, not matmul peak.
     record["blr_bound"] = "latency/VPU-bound (D=15 << 128 MXU tile)"
 
+    record["chain_sweep"] = chain_sweep(kernel, model)
     record["lgc_d4096"] = lgc_utilization()
     print(json.dumps(record))
+
+
+def chain_sweep(kernel, model):
+    """min-ESS/s at growing chain counts (VERDICT round-4 item 3).
+
+    Short runs (300 kept samples, device-mode Geyer ESS to avoid hauling
+    the tensors over the tunnel) -- an indicator of where throughput
+    saturates, not the headline protocol.
+    """
+    import jax
+
+    import riemannhamiltonianmontecarlo_tpu as rhmc
+    from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import ess_geyer_device
+
+    out = []
+    for c in (4096, 8192, 16384):
+        init = rhmc.utils.default_init(model, jax.random.key(70 + c), c)
+        warm = rhmc.parallel.run(kernel, jax.random.key(71), init,
+                                 num_samples=150, burn_in=0, collect=False)
+        jax.block_until_ready(warm.final_state.position)
+        t0 = time.perf_counter()
+        res = rhmc.parallel.run(kernel, jax.random.key(72), None,
+                                num_samples=300, burn_in=0,
+                                init_state=warm.final_state)
+        jax.block_until_ready(res.samples)
+        dt = time.perf_counter() - t0
+        ess_min = float(np.asarray(ess_geyer_device(res.samples)).min())
+        out.append({"chains": c, "min_ess_per_s": round(ess_min / dt, 1),
+                    "steps_per_s": round(300.0 / dt, 2)})
+    return out
 
 
 def lgc_utilization():

@@ -73,6 +73,20 @@ class LogisticRegression:
     def __post_init__(self):
         object.__setattr__(self, "X", jnp.asarray(self.X))
         object.__setattr__(self, "t", jnp.asarray(self.t).reshape(-1))
+        # Outer-product feature matrix F[n, d*D+e] = X[n,d] X[n,e] (N, D^2),
+        # precomputed once (~0.6 MB for australian).  Every weighted
+        # second-moment contraction then becomes ONE dense GEMM:
+        #   G(w)      = reshape(v @ F) + I/alpha            (C,N)x(N,D^2)
+        #   s_n = x_n^T M x_n  ->  s = M_flat @ F^T         (C,D^2)x(D^2,N)
+        # Without it, XLA's pairwise einsum lowering materializes a
+        # (C, N, D) intermediate (~170 MB at C=4096 for australian) for
+        # every metric build and dG trace -- tens of times per RMHMC
+        # step, which made the BLR kernel HBM-bandwidth-bound (the
+        # round-2..4 "latency-bound" label was this traffic).
+        x = self.X
+        n, d = x.shape
+        f = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
+        object.__setattr__(self, "_outer_features", f)
 
     @property
     def dim(self) -> int:
@@ -156,9 +170,12 @@ class LogisticRegression:
         return p, v, c
 
     def _metric_from_v(self, v: Array) -> Array:
-        # G = X^T diag(v) X + I/alpha, batched over leading axes of v.
-        g = jnp.einsum("...n,na,nb->...ab", v, self.X, self.X, precision=PRECISION)
-        eye = jnp.eye(self.dim, dtype=g.dtype) / self.alpha
+        # G = X^T diag(v) X + I/alpha as one (C, N) x (N, D^2) GEMM over
+        # the precomputed outer features (see __post_init__).
+        d = self.dim
+        g = jnp.matmul(v, self._outer_features, precision=PRECISION)
+        g = g.reshape(*v.shape[:-1], d, d)
+        eye = jnp.eye(d, dtype=g.dtype) / self.alpha
         return g + eye
 
     def metric(self, w: Array) -> Array:
@@ -190,21 +207,27 @@ class LogisticRegression:
     def dg_trace(self, w: Array, m: Array, *, cache: Array | None = None) -> Array:
         """[tr(M dG_d)]_d = X^T (c * s),  s_n = x_n^T M x_n."""
         c = self.dg_cache(w) if cache is None else cache
-        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
-        s = jnp.sum(xm * self.X, axis=-1)  # (..., N)
+        s = self.quadratic_forms(m)  # (..., N)
         return jnp.matmul(c * s, self.X, precision=PRECISION)
 
     def dg_dotted(self, w: Array, m: Array, *, cache: Array | None = None) -> Array:
-        """[sum_e (M dG_e M)[:, e]]  = (c * s) @ (X M),  s_n = x_n^T M x_n."""
+        """[sum_e (M dG_e M)[:, e]] = ((c * s) @ X) M,  s_n = x_n^T M x_n.
+
+        M is symmetric (it is G^{-1} or a product thereof), so the final
+        contraction with X M associates as a (..., D) matvec with M --
+        no (..., N, D) intermediate.
+        """
         c = self.dg_cache(w) if cache is None else cache
-        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
-        s = jnp.sum(xm * self.X, axis=-1)
-        return jnp.einsum("...n,...nd->...d", c * s, xm, precision=PRECISION)
+        s = self.quadratic_forms(m)
+        csx = jnp.matmul(c * s, self.X, precision=PRECISION)  # (..., D)
+        return jnp.einsum("...d,...de->...e", csx, m, precision=PRECISION)
 
     def quadratic_forms(self, m: Array) -> Array:
-        """s_n = x_n^T M x_n for each data point, batched over chains."""
-        xm = jnp.einsum("na,...ab->...nb", self.X, m, precision=PRECISION)
-        return jnp.sum(xm * self.X, axis=-1)
+        """s_n = x_n^T M x_n, batched: one (..., D^2) x (D^2, N) GEMM over
+        the precomputed outer features (no (..., N, D) intermediate)."""
+        d = self.dim
+        m_flat = m.reshape(*m.shape[:-2], d * d)
+        return jnp.matmul(m_flat, self._outer_features.T, precision=PRECISION)
 
     # -- IWLS helpers (``code/iwls.py:28-35``) ------------------------------
 
