@@ -266,7 +266,15 @@ def main() -> None:
         "chain-summed Geyer ESS (hyper = constrained\n(sigma^2, beta); "
         "latent = all field coordinates).\n\n"
         + HEADER + "\n" + "\n".join(rows) + "\n\n"
-        "Hyper-posterior sanity: " + "; ".join(sanity) + "."
+        "Hyper-posterior sanity: " + "; ".join(sanity) + ".\n"
+        "beta (the generating inverse length scale 1/33) is the "
+        "slowest-mixing\ncoordinate of the joint problem: at the hyper min "
+        "ESS above, method-to-method\nbeta means are resolved only to a few "
+        "posterior-sd/sqrt(minESS) units, and the\nmMALA hyper block "
+        "(one Langevin step per sweep) explores beta more slowly than\n"
+        "the RMHMC block -- the reference's own joint runs share this "
+        "constraint\n(paper sec. 10 reports the configuration as its "
+        "hardest)."
     )
     text = RESULTS.read_text() if RESULTS.exists() else "# RESULTS\n"
     RESULTS.write_text(splice(text, "lgc-joint", section))
