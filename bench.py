@@ -70,9 +70,10 @@ def measure_baseline() -> tuple[float, dict]:
         cache = json.loads(BASELINE_CACHE.read_text())
         if cache.get("host") == fp and "repeats" in cache:
             return cache["ess_per_sec"], cache
-        print(f"bench: baseline cache host mismatch "
-              f"({cache.get('host')!r} != {fp!r}); re-measuring",
-              file=sys.stderr)
+        why = ("host mismatch" if cache.get("host") != fp
+               else "pre-best-of-3 format")
+        print(f"bench: baseline cache {why} "
+              f"({cache.get('host')!r}); re-measuring", file=sys.stderr)
     if not REFERENCE_CODE.exists():
         return FALLBACK_BASELINE_ESS_PER_SEC, {
             "host": fp, "measured_on": "fallback constant"}
@@ -174,6 +175,43 @@ def flop_accounting(num_chains, num_samples, elapsed, step_flops):
     return flops, tflops, flops / elapsed / peak
 
 
+def _measure_at(kernel, model, num_chains: int):
+    """Full headline protocol at one chain count: burn-in, compile-warm
+    pass, then the timed sampling phase.  Returns (value, elapsed, samples).
+    """
+    import jax
+
+    import riemannhamiltonianmontecarlo_tpu as rhmc
+
+    init = rhmc.utils.default_init(model, jax.random.key(7), num_chains)
+    # Burn-in + compile of the exact timed computation (same shapes/flags),
+    # so the timed pass below hits the jit cache.
+    warm = rhmc.parallel.run(
+        kernel, jax.random.key(1), init, num_samples=BURN_IN, burn_in=0, collect=False
+    )
+    jax.block_until_ready(warm.final_state.position)
+    pre = rhmc.parallel.run(
+        kernel, jax.random.key(2), None,
+        num_samples=NUM_SAMPLES, burn_in=0, init_state=warm.final_state,
+    )
+    jax.block_until_ready(pre.samples)
+
+    # Timed sampling phase (reference convention: sampling only).  The
+    # timer stops at device completion; the host transfer of the sample
+    # tensor (over the axon tunnel) is post-processing, not sampling.
+    t0 = time.perf_counter()
+    res = rhmc.parallel.run(
+        kernel, jax.random.key(3), None,
+        num_samples=NUM_SAMPLES, burn_in=0, init_state=pre.final_state,
+    )
+    jax.block_until_ready(res.samples)
+    elapsed = time.perf_counter() - t0
+
+    samples = np.asarray(res.samples)
+    ess = rhmc.diagnostics.ess_multichain(samples)  # (D,) summed over chains
+    return float(ess.min()) / elapsed, elapsed, float(ess.min())
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -186,47 +224,24 @@ def main() -> None:
     )
     kernel = rhmc.samplers.rmhmc.build(model)  # reference constants
 
-    init = rhmc.utils.default_init(model, jax.random.key(7), NUM_CHAINS)
-
-    # Burn-in + compile of the exact timed computation (same shapes/flags),
-    # so the timed pass below hits the jit cache.
-    warm = rhmc.parallel.run(
-        kernel, jax.random.key(1), init, num_samples=BURN_IN, burn_in=0, collect=False
-    )
-    jax.block_until_ready(warm.final_state.position)
-    pre = rhmc.parallel.run(
-        kernel,
-        jax.random.key(2),
-        None,
-        num_samples=NUM_SAMPLES,
-        burn_in=0,
-        init_state=warm.final_state,
-    )
-    jax.block_until_ready(pre.samples)
-
-    # Timed sampling phase (reference convention: sampling only).  The
-    # timer stops at device completion; the host transfer of the sample
-    # tensor (over the axon tunnel) is post-processing, not sampling.
-    t0 = time.perf_counter()
-    res = rhmc.parallel.run(
-        kernel,
-        jax.random.key(3),
-        None,
-        num_samples=NUM_SAMPLES,
-        burn_in=0,
-        init_state=pre.final_state,
-    )
-    jax.block_until_ready(res.samples)
-    elapsed = time.perf_counter() - t0
-    samples = np.asarray(res.samples)
-
-    ess = rhmc.diagnostics.ess_multichain(samples)  # (D,) summed over chains
-    min_ess = float(ess.min())
-    value = min_ess / elapsed
+    # Headline = best over candidate chain counts, each at the FULL
+    # protocol (identical burn-in / sample counts / timing convention) --
+    # the round-4 one-point benchmark left throughput on the table: the
+    # chip is not saturated at 4096 chains (VERDICT round-4 item 3).
+    sweep = []
+    best = None
+    for c in (NUM_CHAINS, 2 * NUM_CHAINS):
+        value, elapsed, min_ess = _measure_at(kernel, model, c)
+        sweep.append({"chains": c, "min_ess_per_s": round(value, 1),
+                      "sampling_s": round(elapsed, 3),
+                      "min_ess": round(min_ess)})
+        if best is None or value > best[0]:
+            best = (value, elapsed, c)
+    value, elapsed, best_chains = best
 
     baseline, base_meta = measure_baseline()
     record = {
-        "metric": f"BLR australian RMHMC min-ESS/s ({NUM_CHAINS} chains, 1 chip)",
+        "metric": f"BLR australian RMHMC min-ESS/s ({best_chains} chains, 1 chip)",
         "value": round(value, 1),
         "unit": "ESS/s",
         "vs_baseline": round(value / baseline, 1),
@@ -238,48 +253,23 @@ def main() -> None:
     }
     n_data, d = ds.X.shape[0], ds.X.shape[1]
     step_flops = rmhmc_step_flops(n_data, d)
-    flops, tflops, mfu = flop_accounting(NUM_CHAINS, NUM_SAMPLES, elapsed, step_flops)
+    flops, tflops, mfu = flop_accounting(best_chains, NUM_SAMPLES, elapsed, step_flops)
     record["flops_per_step_per_chain"] = round(step_flops)
     record["achieved_tflops_per_s"] = round(tflops, 3)
     record["mfu_vs_bf16_peak"] = round(mfu, 5)
-    # BLR at D=15 is VPU/latency-bound: per-chain matrices are far below
-    # the 128x128 MXU tile, so utilization is bounded by the vector units
-    # and per-step dispatch, not matmul peak.
-    record["blr_bound"] = "latency/VPU-bound (D=15 << 128 MXU tile)"
+    # Round-5 measured: the one-GEMM geometry rewrite (models/logreg.py
+    # outer features) lifted 4096-chain throughput 5.9 -> 9.8 TF/s (~30%
+    # of the 32.8 TF/s f32-effective MXU ceiling), and throughput still
+    # grows with the chain count, so the residual gap is VPU/occupancy on
+    # the chain-batched D=15 factorizations and elementwise weights --
+    # not HBM traffic (eliminated) and not a step-latency floor.
+    record["blr_bound"] = (
+        "occupancy/VPU-bound at D=15 after the one-GEMM geometry rewrite; "
+        "scales with chain count (see chain_sweep)")
 
-    record["chain_sweep"] = chain_sweep(kernel, model)
+    record["chain_sweep"] = sweep
     record["lgc_d4096"] = lgc_utilization()
     print(json.dumps(record))
-
-
-def chain_sweep(kernel, model):
-    """min-ESS/s at growing chain counts (VERDICT round-4 item 3).
-
-    Short runs (300 kept samples, device-mode Geyer ESS to avoid hauling
-    the tensors over the tunnel) -- an indicator of where throughput
-    saturates, not the headline protocol.
-    """
-    import jax
-
-    import riemannhamiltonianmontecarlo_tpu as rhmc
-    from riemannhamiltonianmontecarlo_tpu.diagnostics.ess import ess_geyer_device
-
-    out = []
-    for c in (4096, 8192, 16384):
-        init = rhmc.utils.default_init(model, jax.random.key(70 + c), c)
-        warm = rhmc.parallel.run(kernel, jax.random.key(71), init,
-                                 num_samples=150, burn_in=0, collect=False)
-        jax.block_until_ready(warm.final_state.position)
-        t0 = time.perf_counter()
-        res = rhmc.parallel.run(kernel, jax.random.key(72), None,
-                                num_samples=300, burn_in=0,
-                                init_state=warm.final_state)
-        jax.block_until_ready(res.samples)
-        dt = time.perf_counter() - t0
-        ess_min = float(np.asarray(ess_geyer_device(res.samples)).min())
-        out.append({"chains": c, "min_ess_per_s": round(ess_min / dt, 1),
-                    "steps_per_s": round(300.0 / dt, 2)})
-    return out
 
 
 def lgc_utilization():
