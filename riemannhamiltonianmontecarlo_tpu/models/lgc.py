@@ -144,6 +144,21 @@ class LGCModel:
             - 0.5 * quad
         )
 
+    def metric_quad(self, delta: Array) -> Array:
+        """delta^T G delta for the CONSTANT metric, without touching the
+        dense G factors: G = Sigma^{-1} + diag(m e^{mu + diag Sigma})
+        (``LGC_mMALA_LV.m:85-88``), so the quadratic form is the
+        Sigma^{-1} form (reusing the operator the gradient already keeps
+        on chip) plus a diagonal-weighted sum.  Keeps the constant-metric
+        mMALA program at two large constants -- the tunneled backend's
+        compile-request limit rejects programs embedding three+ dense
+        (4096, 4096) f32 literals (HTTP 413, round 5)."""
+        dvec = self.m * jnp.exp(self.mu + self.sigma_diag)
+        quad = jnp.einsum(
+            "...a,ab,...b->...", delta, self.sigma_inv, delta, precision=_PREC
+        )
+        return quad + jnp.sum(dvec * delta * delta, axis=-1)
+
     def grad(self, x: Array) -> Array:
         """y - m e^x - Sigma^{-1}(x - mu) (``:127``)."""
         centered = x - self.mu

@@ -53,11 +53,24 @@ class PMALAState(NamedTuple):
 
 
 def build(model, mass_chol: Array, mass_inv: Array,
-          config: PMALAConfig = PMALAConfig()) -> Kernel:
+          config: PMALAConfig = PMALAConfig(), *,
+          quad_fn=None, factor_only: bool = False) -> Kernel:
     """``mass_chol``: lower Cholesky L of the constant metric G (D, D);
     ``mass_inv``: G^{-1}.  One ``logp_and_grad`` per step (the reverse
     drift reuses the proposal's gradient, which the next step then
-    inherits on acceptance)."""
+    inherits on acceptance).
+
+    Large-D options (both used for LGC D=4096, where every dense (D, D)
+    constant baked into the jitted program is 67 MB and the tunneled
+    backend rejects compile requests embedding three or more of them):
+
+    * ``quad_fn(delta) -> (C,)``: model-supplied delta^T G delta (e.g.
+      ``LGCModel.metric_quad`` reuses the Sigma^{-1} operator the
+      gradient already needs), replacing the ``mass_chol`` matmul;
+    * ``factor_only``: drop ``mass_inv`` from the program too -- the
+      drift applies G^{-1} = L^{-T} L^{-1} as two matmuls with the one
+      precomputed triangular inverse.
+    """
     eps = config.step_size
     half = 0.5 * eps
     sqrt_eps = eps ** 0.5
@@ -68,13 +81,24 @@ def build(model, mass_chol: Array, mass_inv: Array,
     inv_chol = jax.scipy.linalg.solve_triangular(
         mass_chol, jnp.eye(d, dtype=mass_chol.dtype), lower=True)
 
-    def quad_g(delta: Array) -> Array:
-        """delta^T G delta via the factor: ||delta @ L||^2."""
-        y = jnp.matmul(delta, mass_chol, precision=_PREC)
-        return jnp.sum(y * y, axis=-1)
+    if quad_fn is None:
+        def quad_fn(delta: Array) -> Array:
+            """delta^T G delta via the factor: ||delta @ L||^2."""
+            y = jnp.matmul(delta, mass_chol, precision=_PREC)
+            return jnp.sum(y * y, axis=-1)
+
+    if factor_only:
+        def apply_g_inv(g: Array) -> Array:
+            # g G^{-1} = (g L^{-T}) L^{-1}, row-vector convention.
+            return jnp.matmul(
+                jnp.matmul(g, inv_chol.T, precision=_PREC), inv_chol,
+                precision=_PREC)
+    else:
+        def apply_g_inv(g: Array) -> Array:
+            return jnp.matmul(g, mass_inv, precision=_PREC)
 
     def drift(position: Array, grad: Array) -> Array:
-        return position + half * jnp.matmul(grad, mass_inv, precision=_PREC)
+        return position + half * apply_g_inv(grad)
 
     def init(position: Array) -> PMALAState:
         logp, grad = model.logp_and_grad(position)
@@ -90,8 +114,8 @@ def build(model, mass_chol: Array, mass_inv: Array,
         logp_prop, grad_prop = model.logp_and_grad(x_prop)
         mean_rev = drift(x_prop, grad_prop)
         # Log-dets are constant and cancel (LGC_mMALA_LV.m:120,129).
-        log_q_fwd = -(0.5 / eps) * quad_g(x_prop - mean_fwd)
-        log_q_rev = -(0.5 / eps) * quad_g(state.position - mean_rev)
+        log_q_fwd = -(0.5 / eps) * quad_fn(x_prop - mean_fwd)
+        log_q_rev = -(0.5 / eps) * quad_fn(state.position - mean_rev)
         ratio = (logp_prop + log_q_rev) - (state.logp + log_q_fwd)
 
         divergent = ~(jnp.isfinite(ratio)

@@ -356,3 +356,26 @@ def test_lgc_pmala_matches_phmc_posterior(small_model):
     assert err < 0.25, err
     corr = np.corrcoef(mean_pmala, x_true)[0, 1]
     assert corr > 0.5, corr
+
+
+def test_lgc_pmala_low_memory_path_parity(small_model):
+    """quad_fn + factor_only (the two-constant D=4096 program variant)
+    must match the dense-constant path: metric_quad == ||delta L||^2 and
+    the factored drift == the G^{-1} drift, to f32 tolerance."""
+    from riemannhamiltonianmontecarlo_tpu.samplers import pmala
+
+    model, _ = small_model
+    delta = 0.3 * jax.random.normal(jax.random.key(8), (4, model.dim))
+    y = jnp.matmul(delta, model.metric_chol,
+                   precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(model.metric_quad(delta),
+                               jnp.sum(y * y, axis=-1), rtol=2e-3)
+
+    k_def = pmala.build(model, model.metric_chol, model.metric_inv)
+    k_low = pmala.build(model, model.metric_chol, model.metric_inv,
+                        quad_fn=model.metric_quad, factor_only=True)
+    init = jnp.tile(model.prior_mean(), (4, 1)) + delta
+    s_def, _ = jax.jit(k_def.step)(jax.random.key(1), k_def.init(init))
+    s_low, _ = jax.jit(k_low.step)(jax.random.key(1), k_low.init(init))
+    np.testing.assert_allclose(s_def.position, s_low.position,
+                               rtol=1e-3, atol=1e-3)

@@ -477,9 +477,15 @@ def run_lgc(seeds: int) -> str:
     # this workload, and the table's only sub-100x row (23x, VERDICT
     # round-4 items 1-2).  64 chains like the rmhmc row: the per-step
     # work is pure (C, D) x (D, D) MXU matvecs.
+    # quad_fn/factor_only: keep the jitted program at TWO dense (D, D)
+    # constants (Sigma^{-1} + the triangular inverse) -- the tunneled
+    # backend's compile-request limit rejects three+ embedded 67 MB
+    # literals (HTTP 413).
     measure("mmala (constant metric)",
             lambda _s: pmala.build(model, model.metric_chol, model.metric_inv,
-                                   pmala.PMALAConfig(step_size=0.07)),
+                                   pmala.PMALAConfig(step_size=0.07),
+                                   quad_fn=model.metric_quad,
+                                   factor_only=True),
             64, 1000, 24.1, seg=1250, parts=True)
 
     # Constant-metric RMHMC == preconditioned HMC (LGC_RMHMC_LV.m:95-101).
