@@ -60,8 +60,10 @@ def main() -> None:
     section = (
         f"## Native ESS engine -- BLR {args.dataset} RMHMC, "
         f"{c} chains x {s} samples x {d} coords, 2-vCPU host\n\n"
-        "The measured row above ran end-to-end through `--ess-mode native`\n"
-        "(`experiments.py` CLI -> `native/fastess.cpp`, threaded FFT Geyer).\n"
+        "A full-protocol run measured end-to-end through `--ess-mode "
+        "native`\n(`experiments.py` CLI -> `native/fastess.cpp`, threaded "
+        "FFT Geyer; its own\nrun stats below -- the BLR table row is an "
+        "independent measurement).\n"
         f"Post-processing the same ({c}, {s}, {d}) tensor "
         f"({c * d:,} series):\n\n"
         "| engine | wall (s) | speedup | max rel. deviation |\n"
