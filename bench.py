@@ -259,13 +259,15 @@ def main() -> None:
     record["mfu_vs_bf16_peak"] = round(mfu, 5)
     # Round-5 measured: the one-GEMM geometry rewrite (models/logreg.py
     # outer features) lifted 4096-chain throughput 5.9 -> 9.8 TF/s (~30%
-    # of the 32.8 TF/s f32-effective MXU ceiling), and throughput still
-    # grows with the chain count, so the residual gap is VPU/occupancy on
-    # the chain-batched D=15 factorizations and elementwise weights --
-    # not HBM traffic (eliminated) and not a step-latency floor.
+    # of the 32.8 TF/s f32-effective MXU ceiling) and the full-protocol
+    # chain comparison shows saturation by 4096 chains (8192 measures
+    # ~11% lower min-ESS/s, see chain_sweep), so the residual gap is
+    # VPU-bound work on the chain-batched D=15 factorizations and
+    # elementwise weights -- not HBM traffic (eliminated) and not a
+    # step-latency floor (throughput held when per-step work doubled).
     record["blr_bound"] = (
-        "occupancy/VPU-bound at D=15 after the one-GEMM geometry rewrite; "
-        "scales with chain count (see chain_sweep)")
+        "VPU-bound at D=15 after the one-GEMM geometry rewrite; saturated "
+        "by 4096 chains (see chain_sweep)")
 
     record["chain_sweep"] = sweep
     record["lgc_d4096"] = lgc_utilization()
